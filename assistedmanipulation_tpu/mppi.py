@@ -1,0 +1,453 @@
+"""Generic MPPI trajectory optimizer as a single jitted program.
+
+Re-designs the reference's sampled-control MPC loop
+(src/controller/mppi.cpp:154-479) TPU-first:
+
+- the per-update pipeline (shift -> sample -> rollout -> weight -> smooth ->
+  clip -> re-rollout) is one pure function of an explicit ``PlannerState``
+  pytree, jitted once and replayed every control tick;
+- rollouts are a batched ``lax.scan`` over the horizon ``vmap``-ed over the
+  rollout axis (the reference block-partitioned rollouts over a 36-thread
+  pool with per-thread dynamics copies, mppi.cpp:272-307; here the rollout
+  axis is data-parallel on the VPU/MXU and shards over a device mesh);
+- the softmax weighting reductions (min/max/likelihood-sum/weighted noise sum,
+  mppi.cpp:346-418) are jnp reductions XLA lowers to on-chip collectives when
+  the rollout axis is sharded;
+- Gaussian sampling uses counter-based threefry RNG (one key per update)
+  instead of the serial mt19937 column draws (mppi.cpp:250-261); parity with
+  the reference is at the distribution level;
+- NaN cost poisoning, elite reuse, the always-kept zero and negative-optimal
+  static rollouts, min/max-normalized softmax weighting, the degenerate-spread
+  early-out, Savitzky-Golay smoothing and bound clipping all follow the
+  reference semantics exactly (see inline citations).
+
+Dynamics/cost are supplied as pure functions (see ``Plant`` protocol), not
+subclasses; there is nothing to copy per thread because nothing mutates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import from_json
+from .ops.gaussian import covariance_transform
+from .ops.sg_filter import SGSmoother, sg_smooth
+
+# Static rollouts: index 0 carries zero noise, index 1 carries the negated
+# previous optimal control (mppi.cpp:264-269, mppi.hpp s_static_rollouts).
+STATIC_ROLLOUTS = 2
+
+
+@dataclasses.dataclass
+class Smoothing:
+    window: int = 10
+    order: int = 1
+
+
+@dataclasses.dataclass
+class Configuration:
+    """Mirror of mppi::Configuration (reference mppi.hpp:242-248 and the
+    defaults at src/test/case/base.hpp:69-101)."""
+
+    rollouts: int = 50
+    keep_best_rollouts: int = 20
+    time_step: float = 0.01
+    horizon: float = 0.3
+    gradient_step: float = 2.0
+    cost_scale: float = 10.0
+    cost_discount_factor: float = 1.0
+    covariance: Optional[np.ndarray] = None
+    control_bound: bool = True
+    control_min: Optional[np.ndarray] = None
+    control_max: Optional[np.ndarray] = None
+    control_default: Optional[np.ndarray] = None
+    initial_state: Optional[np.ndarray] = None
+    smoothing: Optional[Smoothing] = None
+    # TPU-specific additions (no reference equivalent):
+    dtype: str = "float32"
+    # 36-thread block partitioning (mppi.cpp:277) has no TPU analog; the
+    # rollout axis shards over the mesh axis named here instead.
+    rollout_axis: str = "rollouts"
+
+    @property
+    def step_count(self) -> int:
+        return int(math.ceil(self.horizon / self.time_step))
+
+    @property
+    def rollout_count(self) -> int:
+        return self.rollouts + STATIC_ROLLOUTS
+
+
+class Plant(NamedTuple):
+    """Pure-function dynamics + cost bundle.
+
+    The reference splits this across mppi::Dynamics / mppi::Cost subclasses
+    with mutable per-thread copies (mppi.hpp:30-145). Here:
+
+    - ``derive(x, t) -> aux``: derived quantities of the state (FK, Jacobians,
+      mass matrix, end-effector state, ...) — the analog of
+      RaisimDynamics::calculate (raisim_dynamics.cpp:150-204). ``aux`` is any
+      pytree; it is computed once per step and shared by cost and integrate.
+    - ``cost(x, u, aux, t) -> scalar``: step cost, the analog of
+      Cost::get_cost. NaN poisons the rollout (mppi.cpp:331-334).
+    - ``integrate(x, u, aux, t, dt) -> x_next``: step the dynamics, the
+      analog of Dynamics::step (raisim_dynamics.cpp:255-264).
+
+    All three must be jit-traceable and are vmapped over the rollout axis.
+    """
+
+    derive: Callable[[jax.Array, jax.Array], Any]
+    cost: Callable[[jax.Array, jax.Array, Any, jax.Array], jax.Array]
+    integrate: Callable[[jax.Array, jax.Array, Any, jax.Array, float], jax.Array]
+    state_dof: int
+    control_dof: int
+
+
+class PlannerState(NamedTuple):
+    """Everything the controller carries between updates (the reference's
+    mutable Trajectory members, mppi.hpp:600-650)."""
+
+    optimal_control: jax.Array  # (steps, dof) published control sequence
+    noise: jax.Array  # (R, steps, dof) rollout noise (for elite reuse)
+    costs: jax.Array  # (R,) rollout costs from the last update
+    last_shift_time: jax.Array  # scalar: time the horizon was last aligned to
+    last_update_time: jax.Array  # scalar: time of the last publish
+    sg_buffer: jax.Array  # (dof, L) smoothing history ((0,0) if disabled)
+    rng: jax.Array  # threefry key
+    update_count: jax.Array  # int32
+    optimal_cost: jax.Array  # scalar: cost of the optimal rollout (logging)
+    update_duration: jax.Array  # seconds, host-measured (logging)
+
+
+class UpdateInfo(NamedTuple):
+    """Per-update observability outputs (consumed by logging; the analog of
+    logger::MPPI's costs/weights/gradient CSVs, src/logging/mppi.cpp:23-72)."""
+
+    costs: jax.Array  # (R,)
+    weights: jax.Array  # (R,)
+    gradient: jax.Array  # (steps, dof)
+    optimal_rollout_states: jax.Array  # (steps, state_dof)
+    optimal_cost: jax.Array
+    degenerate: jax.Array  # True when max-min < 1e-6 (update skipped)
+
+
+def _shift_columns(array: jax.Array, shift: jax.Array, axis: int = 0) -> jax.Array:
+    """Shift ``array`` left along ``axis`` by a traced ``shift``, replicating
+    the final entry (mppi.cpp:204-206 semantics)."""
+    length = array.shape[axis]
+    index = jnp.minimum(jnp.arange(length) + shift, length - 1)
+    return jnp.take(array, index, axis=axis)
+
+
+class Planner:
+    """Factory wiring a Plant to the jitted update/get functions.
+
+    Construction validates the configuration like mppi::Trajectory::create
+    (mppi.cpp:11-77) but raises instead of returning nullptr.
+    """
+
+    def __init__(self, configuration: Configuration, plant: Plant):
+        cfg = configuration
+        dof = plant.control_dof
+        if cfg.covariance is None:
+            raise ValueError("mppi configuration requires a covariance")
+        covariance = np.asarray(cfg.covariance, dtype=np.float64)
+        if covariance.ndim == 1:
+            covariance = np.diag(covariance)
+        if covariance.shape != (dof, dof):
+            raise ValueError(
+                f"covariance shape {covariance.shape} != control dof {dof}"
+            )
+        if cfg.rollouts < 1:
+            raise ValueError("rollouts must be greater than zero")
+        if cfg.keep_best_rollouts < 0:
+            raise ValueError("keep_best_rollouts cannot be negative")
+        if cfg.control_min is None or cfg.control_max is None:
+            raise ValueError("control bounds are required")
+        if (
+            len(np.asarray(cfg.control_min)) != dof
+            or len(np.asarray(cfg.control_max)) != dof
+        ):
+            raise ValueError(f"control bounds must have length {dof}")
+
+        self.configuration = cfg
+        self.plant = plant
+        self.dtype = jnp.dtype(cfg.dtype)
+        self.steps = cfg.step_count
+        self.rollout_count = cfg.rollout_count
+        self.keep_best = min(cfg.keep_best_rollouts, cfg.rollouts)
+
+        self._transform = jnp.asarray(
+            covariance_transform(covariance), dtype=self.dtype
+        )
+        self._control_min = jnp.asarray(cfg.control_min, dtype=self.dtype)
+        self._control_max = jnp.asarray(cfg.control_max, dtype=self.dtype)
+        self._control_default = (
+            jnp.asarray(cfg.control_default, dtype=self.dtype)
+            if cfg.control_default is not None
+            else None
+        )
+        self._discount = float(cfg.cost_discount_factor)
+
+        if cfg.smoothing is not None:
+            self._smoother = SGSmoother(
+                steps=self.steps,
+                window=int(cfg.smoothing.window),
+                order=int(cfg.smoothing.order),
+            )
+        else:
+            self._smoother = None
+
+        self._update = jax.jit(self._update_impl, donate_argnums=0)
+        self._get = jax.jit(self._get_impl)
+
+    # -- state ---------------------------------------------------------------
+
+    def init(self, seed: int = 0) -> PlannerState:
+        steps, dof = self.steps, self.plant.control_dof
+        smoother = self._smoother
+        sg_buffer = (
+            smoother.init_buffer(dof, self.dtype)
+            if smoother is not None
+            else jnp.zeros((0, 0), dtype=self.dtype)
+        )
+        return PlannerState(
+            optimal_control=jnp.zeros((steps, dof), dtype=self.dtype),
+            noise=jnp.zeros((self.rollout_count, steps, dof), dtype=self.dtype),
+            costs=jnp.zeros((self.rollout_count,), dtype=self.dtype),
+            last_shift_time=jnp.asarray(0.0, dtype=self.dtype),
+            last_update_time=jnp.asarray(0.0, dtype=self.dtype),
+            sg_buffer=sg_buffer,
+            rng=jax.random.PRNGKey(seed),
+            update_count=jnp.asarray(0, dtype=jnp.int32),
+            optimal_cost=jnp.asarray(0.0, dtype=self.dtype),
+            update_duration=jnp.asarray(0.0, dtype=self.dtype),
+        )
+
+    # -- public API ----------------------------------------------------------
+
+    def update(self, state: PlannerState, x, time) -> tuple[PlannerState, UpdateInfo]:
+        """One MPPI update at plant state ``x`` and time ``time``
+        (mppi::Trajectory::update, mppi.cpp:154-187)."""
+        return self._update(
+            state,
+            jnp.asarray(x, dtype=self.dtype),
+            jnp.asarray(time, dtype=self.dtype),
+        )
+
+    def get(self, state: PlannerState, time) -> jax.Array:
+        """Query the published control at ``time`` by linear interpolation
+        (mppi::Trajectory::get, mppi.cpp:481-512)."""
+        return self._get(state, jnp.asarray(time, dtype=self.dtype))
+
+    # -- implementation ------------------------------------------------------
+
+    def _sample(self, state: PlannerState, time: jax.Array):
+        """Shift + resample rollout noise (mppi.cpp:189-270)."""
+        cfg = self.configuration
+        steps, dof = self.steps, self.plant.control_dof
+        R = self.rollout_count
+        dt = cfg.time_step
+
+        shift_by = jnp.clip(
+            ((time - state.last_shift_time) / dt).astype(jnp.int32), 0, steps
+        )
+        do_shift = shift_by > 0
+        last_shift_time = jnp.where(do_shift, time, state.last_shift_time)
+
+        optimal_shifted = jnp.where(
+            do_shift,
+            _shift_columns(state.optimal_control, shift_by, axis=0),
+            state.optimal_control,
+        )
+
+        # Elite ordering of the sampled rollouts by last update's cost
+        # (mppi.cpp:219-231). NaN costs sort last (reference relies on
+        # comparator behavior; NaN-as-infinity is the intended ordering).
+        sampled_costs = state.costs[STATIC_ROLLOUTS:]
+        sort_key = jnp.where(jnp.isnan(sampled_costs), jnp.inf, sampled_costs)
+        order = jnp.argsort(sort_key, stable=True)
+        rank = jnp.argsort(order, stable=True)  # rank[i] = position of rollout i
+        keep_mask = rank < self.keep_best  # (R-2,)
+
+        rng, key = jax.random.split(state.rng)
+        fresh = (
+            jax.random.normal(key, (R - STATIC_ROLLOUTS, steps, dof), self.dtype)
+            @ self._transform.T
+        )
+
+        old = state.noise[STATIC_ROLLOUTS:]
+        # Kept rollouts: shift noise left, fresh tail (mppi.cpp:242-253).
+        col = jnp.arange(steps)
+        shifted_old = jnp.take(
+            old, jnp.minimum(col + shift_by, steps - 1), axis=1
+        )
+        kept = jnp.where(
+            (col < steps - shift_by)[None, :, None], shifted_old, fresh
+        )
+        kept = jnp.where(do_shift, kept, old)
+        sampled_noise = jnp.where(keep_mask[:, None, None], kept, fresh)
+
+        noise = jnp.concatenate(
+            [
+                jnp.zeros((1, steps, dof), self.dtype),  # zero rollout
+                # Negated previous optimal control (pre-shift), mppi.cpp:269.
+                -state.optimal_control[None],
+                sampled_noise,
+            ],
+            axis=0,
+        )
+        return noise, optimal_shifted, shift_by, last_shift_time, rng
+
+    def _rollout_batch(self, noise, optimal_shifted, x0, time):
+        """Batched rollouts (mppi.cpp:272-342): per rollout, scan the horizon
+        accumulating discounted cost with NaN poisoning."""
+        dt = self.configuration.time_step
+        plant = self.plant
+        discount = self._discount
+
+        def single(noise_r):
+            def body(carry, inputs):
+                x, total = carry
+                u_opt, noise_s, step = inputs
+                t = time + step * dt
+                u = u_opt + noise_s
+                aux = plant.derive(x, t)
+                step_cost = plant.cost(x, u, aux, t) * discount**step
+                total = total + step_cost  # NaN propagates = poisoning
+                x = plant.integrate(x, u, aux, t, dt)
+                return (x, total), None
+
+            steps = jnp.arange(self.steps, dtype=self.dtype)
+            (x, total), _ = jax.lax.scan(
+                body, (x0, jnp.asarray(0.0, self.dtype)), (optimal_shifted, noise_r, steps)
+            )
+            return total
+
+        return jax.vmap(single)(noise)
+
+    def _optimise(self, costs, noise, optimal_shifted, sg_buffer, shift_by):
+        """Weight, step, smooth, clip (mppi.cpp:344-448)."""
+        cfg = self.configuration
+        valid = ~jnp.isnan(costs)
+        minimum = jnp.min(jnp.where(valid, costs, jnp.inf))
+        maximum = jnp.max(jnp.where(valid, costs, -jnp.inf))
+        difference = maximum - minimum
+        # Degenerate spread: skip the update entirely (mppi.cpp:373-375);
+        # also covers the all-NaN case (the reference throws there).
+        degenerate = ~(difference >= 1e-6)
+
+        likelihood = jnp.where(
+            valid,
+            jnp.exp(
+                -cfg.cost_scale
+                * (costs - minimum)
+                / jnp.where(difference > 0, difference, 1.0)
+            ),
+            0.0,
+        )
+        total = jnp.sum(likelihood)
+        weights = likelihood / jnp.where(total > 0, total, 1.0)
+
+        # Weighted noise sum = gradient estimate (mppi.cpp:413-418). This is
+        # a (R) x (R, steps*dof) contraction -> MXU matmul.
+        gradient = jnp.einsum("r,rsd->sd", weights, noise)
+
+        updated = optimal_shifted + cfg.gradient_step * gradient
+
+        if self._smoother is not None:
+            smoothed, new_buffer = sg_smooth(
+                self._smoother, sg_buffer, updated, shift_by
+            )
+            updated = smoothed
+            sg_buffer = jnp.where(degenerate, sg_buffer, new_buffer)
+
+        if cfg.control_bound:
+            updated = jnp.clip(updated, self._control_min, self._control_max)
+
+        optimal = jnp.where(degenerate, optimal_shifted, updated)
+        return optimal, weights, gradient, sg_buffer, degenerate
+
+    def _filter_rollout(self, optimal, x0, time):
+        """Re-rollout the optimal sequence for its cost and states
+        (mppi::Trajectory::filter, mppi.cpp:450-479). The optional per-step
+        safety filter hook lives in safety/ and wraps the plant."""
+        dt = self.configuration.time_step
+        plant = self.plant
+        discount = self._discount
+
+        def body(carry, inputs):
+            x, total = carry
+            u, step = inputs
+            t = time + step * dt
+            aux = plant.derive(x, t)
+            step_cost = plant.cost(x, u, aux, t) * discount**step
+            total = total + step_cost
+            x_next = plant.integrate(x, u, aux, t, dt)
+            return (x_next, total), x
+
+        steps = jnp.arange(self.steps, dtype=self.dtype)
+        (_, cost), states = jax.lax.scan(
+            body, (x0, jnp.asarray(0.0, self.dtype)), (optimal, steps)
+        )
+        return cost, states
+
+    def _update_impl(self, state: PlannerState, x0, time):
+        noise, optimal_shifted, shift_by, last_shift_time, rng = self._sample(
+            state, time
+        )
+        costs = self._rollout_batch(noise, optimal_shifted, x0, time)
+        optimal, weights, gradient, sg_buffer, degenerate = self._optimise(
+            costs, noise, optimal_shifted, state.sg_buffer, shift_by
+        )
+        optimal_cost, optimal_states = self._filter_rollout(optimal, x0, time)
+
+        new_state = PlannerState(
+            optimal_control=optimal,
+            noise=noise,
+            costs=costs,
+            last_shift_time=last_shift_time,
+            last_update_time=time,
+            sg_buffer=sg_buffer,
+            rng=rng,
+            update_count=state.update_count + 1,
+            optimal_cost=optimal_cost,
+            update_duration=state.update_duration,
+        )
+        info = UpdateInfo(
+            costs=costs,
+            weights=weights,
+            gradient=gradient,
+            optimal_rollout_states=optimal_states,
+            optimal_cost=optimal_cost,
+            degenerate=degenerate,
+        )
+        return new_state, info
+
+    def _get_impl(self, state: PlannerState, time):
+        cfg = self.configuration
+        t = (time - state.last_update_time) / cfg.time_step
+        lower = jnp.clip(t.astype(jnp.int32), 0, self.steps - 1)
+        upper = jnp.minimum(lower + 1, self.steps - 1)
+        frac = jnp.clip(t - lower, 0.0, 1.0)
+        interpolated = (
+            (1.0 - frac) * state.optimal_control[lower]
+            + frac * state.optimal_control[upper]
+        )
+        past_end = lower + 1 >= self.steps
+        if self._control_default is not None:
+            fallback = self._control_default
+        else:
+            fallback = state.optimal_control[-1]
+        return jnp.where(past_end, fallback, interpolated)
+
+
+def configuration_from_json(tree: dict) -> Configuration:
+    return from_json(Configuration, tree)

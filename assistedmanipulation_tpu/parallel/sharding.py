@@ -1,0 +1,78 @@
+"""Rollout-axis sharding over a device mesh.
+
+The reference's only parallel substrate is a 36-thread pool with per-thread
+dynamics copies and a future barrier (src/controller/concurrency.hpp,
+mppi.cpp:272-307). The TPU-native equivalent: the rollout batch axis shards
+over a ``jax.sharding.Mesh`` axis; XLA partitions the embarrassingly-parallel
+rollout scan and inserts psum/all-gather collectives exactly where the
+reference did serial reductions (cost min/max mppi.cpp:356-366, likelihood
+sum mppi.cpp:395-397, weighted-noise gradient mppi.cpp:413-418).
+
+The planner state arrays with a leading rollout axis (noise, costs) are
+sharded; the published optimal control and scalars replicate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mppi import Planner, PlannerState
+
+
+ROLLOUT_AXIS = "rollouts"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = ROLLOUT_AXIS) -> Mesh:
+    """1-D mesh over all local devices (rollout data parallelism over ICI)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def planner_state_shardings(planner: Planner, mesh: Mesh, axis: str = ROLLOUT_AXIS):
+    """NamedShardings for a PlannerState: rollout-major arrays shard over
+    ``axis``, everything else replicates."""
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(axis))
+    return PlannerState(
+        optimal_control=replicated,
+        noise=sharded,
+        costs=sharded,
+        last_shift_time=replicated,
+        last_update_time=replicated,
+        sg_buffer=replicated,
+        rng=replicated,
+        update_count=replicated,
+        optimal_cost=replicated,
+        update_duration=replicated,
+    )
+
+
+def shard_planner_state(
+    planner: Planner, state: PlannerState, mesh: Mesh, axis: str = ROLLOUT_AXIS
+) -> PlannerState:
+    """Place an existing PlannerState onto the mesh."""
+    shardings = planner_state_shardings(planner, mesh, axis)
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
+def make_sharded_update(planner: Planner, mesh: Mesh, axis: str = ROLLOUT_AXIS):
+    """Jit the planner update with explicit in/out shardings over the mesh.
+
+    The rollout count must be divisible by the mesh size for an even layout
+    (the reference tolerated ragged thread partitions via std::div,
+    mppi.cpp:277-287; on TPU we require divisibility for static shapes).
+    """
+    state_shardings = planner_state_shardings(planner, mesh, axis)
+    replicated = NamedSharding(mesh, P())
+
+    update = jax.jit(
+        planner._update_impl,
+        in_shardings=(state_shardings, replicated, replicated),
+        donate_argnums=0,
+    )
+    return update

@@ -1,0 +1,28 @@
+"""Test configuration: run on CPU with 8 virtual devices so sharding tests
+exercise the multi-chip code paths without TPU hardware (the TPU answer to
+"test multi-node without a cluster" — see SURVEY.md §4)."""
+
+import os
+
+# XLA_FLAGS must be in the environment before the CPU backend initializes.
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The axon TPU plugin (sitecustomize) registers itself and overrides
+# jax_platforms at interpreter start; force it back to CPU before any
+# backend initializes so tests never touch the tunneled TPU.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
