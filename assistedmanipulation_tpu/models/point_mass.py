@@ -35,10 +35,10 @@ def make_point_mass_plant(config: PointMassConfig) -> Plant:
         dtype=jnp.float32,
     )
 
-    def derive(x, t):
+    def derive(x, t, ctx=None):
         return None
 
-    def cost(x, u, aux, t):
+    def cost(x, u, aux, t, ctx=None):
         position, velocity = x[:dims], x[dims:]
         return (
             config.position_cost * jnp.sum((position - target) ** 2)
@@ -46,7 +46,7 @@ def make_point_mass_plant(config: PointMassConfig) -> Plant:
             + config.control_cost * jnp.sum(u**2)
         )
 
-    def integrate(x, u, aux, t, dt):
+    def integrate(x, u, aux, t, dt, ctx=None):
         position, velocity = x[:dims], x[dims:]
         velocity = velocity + u * dt
         position = position + velocity * dt
@@ -83,10 +83,10 @@ def make_base_2d_plant(config: ObstacleField2DConfig) -> Plant:
     target = jnp.asarray(config.target, dtype=jnp.float32)
     obstacles = jnp.asarray(config.obstacles, dtype=jnp.float32)
 
-    def derive(x, t):
+    def derive(x, t, ctx=None):
         return None
 
-    def cost(x, u, aux, t):
+    def cost(x, u, aux, t, ctx=None):
         position = x[:3]
         error = position - target
         c = config.position_cost * jnp.sum(error**2)
@@ -101,7 +101,7 @@ def make_base_2d_plant(config: ObstacleField2DConfig) -> Plant:
         )
         return c + jnp.sum(jnp.maximum(barrier, 0.0))
 
-    def integrate(x, u, aux, t, dt):
+    def integrate(x, u, aux, t, dt, ctx=None):
         position, velocity = x[:3], x[3:]
         alpha = dt / (config.velocity_time_constant + dt)
         velocity = velocity + alpha * (u - velocity)

@@ -91,21 +91,26 @@ class Plant(NamedTuple):
     The reference splits this across mppi::Dynamics / mppi::Cost subclasses
     with mutable per-thread copies (mppi.hpp:30-145). Here:
 
-    - ``derive(x, t) -> aux``: derived quantities of the state (FK, Jacobians,
-      mass matrix, end-effector state, ...) — the analog of
+    - ``derive(x, t, ctx) -> aux``: derived quantities of the state (FK,
+      Jacobians, mass matrix, end-effector state, ...) — the analog of
       RaisimDynamics::calculate (raisim_dynamics.cpp:150-204). ``aux`` is any
       pytree; it is computed once per step and shared by cost and integrate.
-    - ``cost(x, u, aux, t) -> scalar``: step cost, the analog of
+    - ``cost(x, u, aux, t, ctx) -> scalar``: step cost, the analog of
       Cost::get_cost. NaN poisons the rollout (mppi.cpp:331-334).
-    - ``integrate(x, u, aux, t, dt) -> x_next``: step the dynamics, the
+    - ``integrate(x, u, aux, t, dt, ctx) -> x_next``: step the dynamics, the
       analog of Dynamics::step (raisim_dynamics.cpp:255-264).
+
+    ``ctx`` is an arbitrary per-update pytree passed through
+    ``Planner.update`` — the analog of the DynamicsForecast handle the
+    reference threads into its rollout dynamics (dynamics.hpp:133-171): the
+    cached wrench / end-effector forecast horizon the objective reads.
 
     All three must be jit-traceable and are vmapped over the rollout axis.
     """
 
-    derive: Callable[[jax.Array, jax.Array], Any]
-    cost: Callable[[jax.Array, jax.Array, Any, jax.Array], jax.Array]
-    integrate: Callable[[jax.Array, jax.Array, Any, jax.Array, float], jax.Array]
+    derive: Callable[..., Any]
+    cost: Callable[..., jax.Array]
+    integrate: Callable[..., jax.Array]
     state_dof: int
     control_dof: int
 
@@ -233,13 +238,17 @@ class Planner:
 
     # -- public API ----------------------------------------------------------
 
-    def update(self, state: PlannerState, x, time) -> tuple[PlannerState, UpdateInfo]:
+    def update(
+        self, state: PlannerState, x, time, ctx=None
+    ) -> tuple[PlannerState, UpdateInfo]:
         """One MPPI update at plant state ``x`` and time ``time``
-        (mppi::Trajectory::update, mppi.cpp:154-187)."""
+        (mppi::Trajectory::update, mppi.cpp:154-187). ``ctx`` is forwarded to
+        the plant functions (e.g. the forecast horizon cache)."""
         return self._update(
             state,
             jnp.asarray(x, dtype=self.dtype),
             jnp.asarray(time, dtype=self.dtype),
+            ctx,
         )
 
     def get(self, state: PlannerState, time) -> jax.Array:
@@ -306,7 +315,7 @@ class Planner:
         )
         return noise, optimal_shifted, shift_by, last_shift_time, rng
 
-    def _rollout_batch(self, noise, optimal_shifted, x0, time):
+    def _rollout_batch(self, noise, optimal_shifted, x0, time, ctx):
         """Batched rollouts (mppi.cpp:272-342): per rollout, scan the horizon
         accumulating discounted cost with NaN poisoning."""
         dt = self.configuration.time_step
@@ -319,10 +328,10 @@ class Planner:
                 u_opt, noise_s, step = inputs
                 t = time + step * dt
                 u = u_opt + noise_s
-                aux = plant.derive(x, t)
-                step_cost = plant.cost(x, u, aux, t) * discount**step
+                aux = plant.derive(x, t, ctx)
+                step_cost = plant.cost(x, u, aux, t, ctx) * discount**step
                 total = total + step_cost  # NaN propagates = poisoning
-                x = plant.integrate(x, u, aux, t, dt)
+                x = plant.integrate(x, u, aux, t, dt, ctx)
                 return (x, total), None
 
             steps = jnp.arange(self.steps, dtype=self.dtype)
@@ -375,7 +384,7 @@ class Planner:
         optimal = jnp.where(degenerate, optimal_shifted, updated)
         return optimal, weights, gradient, sg_buffer, degenerate
 
-    def _filter_rollout(self, optimal, x0, time):
+    def _filter_rollout(self, optimal, x0, time, ctx):
         """Re-rollout the optimal sequence for its cost and states
         (mppi::Trajectory::filter, mppi.cpp:450-479). The optional per-step
         safety filter hook lives in safety/ and wraps the plant."""
@@ -387,10 +396,10 @@ class Planner:
             x, total = carry
             u, step = inputs
             t = time + step * dt
-            aux = plant.derive(x, t)
-            step_cost = plant.cost(x, u, aux, t) * discount**step
+            aux = plant.derive(x, t, ctx)
+            step_cost = plant.cost(x, u, aux, t, ctx) * discount**step
             total = total + step_cost
-            x_next = plant.integrate(x, u, aux, t, dt)
+            x_next = plant.integrate(x, u, aux, t, dt, ctx)
             return (x_next, total), x
 
         steps = jnp.arange(self.steps, dtype=self.dtype)
@@ -399,15 +408,15 @@ class Planner:
         )
         return cost, states
 
-    def _update_impl(self, state: PlannerState, x0, time):
+    def _update_impl(self, state: PlannerState, x0, time, ctx=None):
         noise, optimal_shifted, shift_by, last_shift_time, rng = self._sample(
             state, time
         )
-        costs = self._rollout_batch(noise, optimal_shifted, x0, time)
+        costs = self._rollout_batch(noise, optimal_shifted, x0, time, ctx)
         optimal, weights, gradient, sg_buffer, degenerate = self._optimise(
             costs, noise, optimal_shifted, state.sg_buffer, shift_by
         )
-        optimal_cost, optimal_states = self._filter_rollout(optimal, x0, time)
+        optimal_cost, optimal_states = self._filter_rollout(optimal, x0, time, ctx)
 
         new_state = PlannerState(
             optimal_control=optimal,

@@ -18,6 +18,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Parity/oracle tests compare against float64 references; CPU supports x64.
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest

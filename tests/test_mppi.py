@@ -147,7 +147,7 @@ def test_nan_poisoning_gives_zero_weight():
     )
     base = make_point_mass_plant(PointMassConfig(dimensions=dims))
 
-    def poisoned_cost(x, u, aux, t):
+    def poisoned_cost(x, u, aux, t, ctx=None):
         c = base.cost(x, u, aux, t)
         # Poison any rollout whose first control coordinate is negative.
         return jnp.where(u[0] < 0, jnp.nan, c)
@@ -177,7 +177,7 @@ def test_degenerate_spread_skips_update():
         control_max=np.full(dims, 10.0),
     )
     base = make_point_mass_plant(PointMassConfig(dimensions=dims, target=(0.0,)))
-    plant = base._replace(cost=lambda x, u, aux, t: jnp.asarray(1.0))
+    plant = base._replace(cost=lambda x, u, aux, t, ctx=None: jnp.asarray(1.0))
     planner = mppi.Planner(config, plant)
     state = planner.init(seed=0)
     state, info = planner.update(state, jnp.zeros(2), 0.0)
