@@ -37,12 +37,37 @@ import jax
 import jax.numpy as jnp
 
 from .config import from_json
+from .ops.costs import MAXIMUM_COST_DEFAULT
 from .ops.gaussian import covariance_transform
 from .ops.sg_filter import SGSmoother, sg_smooth
 
 # Static rollouts: index 0 carries zero noise, index 1 carries the negated
 # previous optimal control (mppi.cpp:264-269, mppi.hpp s_static_rollouts).
 STATIC_ROLLOUTS = 2
+
+# Composition scale for the two-channel (saturations, smooth) cost
+# accumulation — equals the barriers' maximum_cost so the composed scalar
+# matches the reference's float64 totals (see ops/costs.py docstring).
+BARRIER_SCALE = MAXIMUM_COST_DEFAULT
+
+
+def as_cost_channels(cost):
+    """Normalize a plant cost to the (saturations, smooth) channel pair.
+
+    Scalar costs are pure smooth; a shape-(2,) cost is already channelized
+    (robot objectives return barrier saturation counts separately so float32
+    accumulation keeps the smooth signal — ops/costs.py docstring)."""
+    cost = jnp.asarray(cost)
+    if cost.ndim == 0:
+        return jnp.stack([jnp.zeros_like(cost), cost])
+    return cost
+
+
+def compose_cost(channels):
+    """Composed scalar cost = saturations * BARRIER_SCALE + smooth — the
+    float64 value the reference would have accumulated (lossy in f32; used
+    for logging/sorting display only, never for weighting)."""
+    return channels[..., 0] * BARRIER_SCALE + channels[..., 1]
 
 
 @dataclasses.dataclass
@@ -121,7 +146,7 @@ class PlannerState(NamedTuple):
 
     optimal_control: jax.Array  # (steps, dof) published control sequence
     noise: jax.Array  # (R, steps, dof) rollout noise (for elite reuse)
-    costs: jax.Array  # (R,) rollout costs from the last update
+    costs: jax.Array  # (R, 2) rollout cost channels from the last update
     last_shift_time: jax.Array  # scalar: time the horizon was last aligned to
     last_update_time: jax.Array  # scalar: time of the last publish
     sg_buffer: jax.Array  # (dof, L) smoothing history ((0,0) if disabled)
@@ -226,7 +251,7 @@ class Planner:
         return PlannerState(
             optimal_control=jnp.zeros((steps, dof), dtype=self.dtype),
             noise=jnp.zeros((self.rollout_count, steps, dof), dtype=self.dtype),
-            costs=jnp.zeros((self.rollout_count,), dtype=self.dtype),
+            costs=jnp.zeros((self.rollout_count, 2), dtype=self.dtype),
             last_shift_time=jnp.asarray(0.0, dtype=self.dtype),
             last_update_time=jnp.asarray(0.0, dtype=self.dtype),
             sg_buffer=sg_buffer,
@@ -278,11 +303,13 @@ class Planner:
         )
 
         # Elite ordering of the sampled rollouts by last update's cost
-        # (mppi.cpp:219-231). NaN costs sort last (reference relies on
-        # comparator behavior; NaN-as-infinity is the intended ordering).
-        sampled_costs = state.costs[STATIC_ROLLOUTS:]
-        sort_key = jnp.where(jnp.isnan(sampled_costs), jnp.inf, sampled_costs)
-        order = jnp.argsort(sort_key, stable=True)
+        # (mppi.cpp:219-231): lexicographic over (saturations, smooth) so the
+        # ordering matches the reference's float64 composed costs. NaN costs
+        # sort last (NaN-as-infinity is the intended comparator behavior).
+        sampled = state.costs[STATIC_ROLLOUTS:]
+        V = jnp.where(jnp.isnan(sampled[:, 0]), jnp.inf, sampled[:, 0])
+        S = jnp.where(jnp.isnan(sampled[:, 1]), jnp.inf, sampled[:, 1])
+        order = jnp.lexsort((S, V))
         rank = jnp.argsort(order, stable=True)  # rank[i] = position of rollout i
         keep_mask = rank < self.keep_best  # (R-2,)
 
@@ -329,35 +356,50 @@ class Planner:
                 t = time + step * dt
                 u = u_opt + noise_s
                 aux = plant.derive(x, t, ctx)
-                step_cost = plant.cost(x, u, aux, t, ctx) * discount**step
-                total = total + step_cost  # NaN propagates = poisoning
+                step_cost = as_cost_channels(plant.cost(x, u, aux, t, ctx))
+                step_cost = step_cost.astype(total.dtype)
+                total = total + step_cost * discount**step  # NaN = poisoning
                 x = plant.integrate(x, u, aux, t, dt, ctx)
                 return (x, total), None
 
             steps = jnp.arange(self.steps, dtype=self.dtype)
             (x, total), _ = jax.lax.scan(
-                body, (x0, jnp.asarray(0.0, self.dtype)), (optimal_shifted, noise_r, steps)
+                body,
+                (x0, jnp.zeros(2, dtype=self.dtype)),
+                (optimal_shifted, noise_r, steps),
             )
             return total
 
         return jax.vmap(single)(noise)
 
     def _optimise(self, costs, noise, optimal_shifted, sg_buffer, shift_by):
-        """Weight, step, smooth, clip (mppi.cpp:344-448)."""
+        """Weight, step, smooth, clip (mppi.cpp:344-448).
+
+        costs: (R, 2) channels (saturations V, smooth S). The min/max
+        normalization and softmax run on the lexicographic composition
+        (V - Vmin) * BARRIER_SCALE + (S - Sref), which equals the reference's
+        float64 (cost - minimum) without float32 cancellation loss."""
         cfg = self.configuration
-        valid = ~jnp.isnan(costs)
-        minimum = jnp.min(jnp.where(valid, costs, jnp.inf))
-        maximum = jnp.max(jnp.where(valid, costs, -jnp.inf))
-        difference = maximum - minimum
+        V, S = costs[..., 0], costs[..., 1]
+        valid = ~(jnp.isnan(V) | jnp.isnan(S))
+        big = jnp.asarray(jnp.inf, dtype=S.dtype)
+
+        v_min = jnp.min(jnp.where(valid, V, big))
+        s_at_vmin = jnp.min(jnp.where(valid & (V == v_min), S, big))
+        v_max = jnp.max(jnp.where(valid, V, -big))
+        s_at_vmax = jnp.max(jnp.where(valid & (V == v_max), S, -big))
+
+        difference = (v_max - v_min) * BARRIER_SCALE + (s_at_vmax - s_at_vmin)
         # Degenerate spread: skip the update entirely (mppi.cpp:373-375);
         # also covers the all-NaN case (the reference throws there).
         degenerate = ~(difference >= 1e-6)
 
+        relative = (V - v_min) * BARRIER_SCALE + (S - s_at_vmin)
         likelihood = jnp.where(
             valid,
             jnp.exp(
                 -cfg.cost_scale
-                * (costs - minimum)
+                * relative
                 / jnp.where(difference > 0, difference, 1.0)
             ),
             0.0,
@@ -397,16 +439,17 @@ class Planner:
             u, step = inputs
             t = time + step * dt
             aux = plant.derive(x, t, ctx)
-            step_cost = plant.cost(x, u, aux, t, ctx) * discount**step
-            total = total + step_cost
+            step_cost = as_cost_channels(plant.cost(x, u, aux, t, ctx))
+            step_cost = step_cost.astype(total.dtype)
+            total = total + step_cost * discount**step
             x_next = plant.integrate(x, u, aux, t, dt, ctx)
             return (x_next, total), x
 
         steps = jnp.arange(self.steps, dtype=self.dtype)
         (_, cost), states = jax.lax.scan(
-            body, (x0, jnp.asarray(0.0, self.dtype)), (optimal, steps)
+            body, (x0, jnp.zeros(2, dtype=self.dtype)), (optimal, steps)
         )
-        return cost, states
+        return compose_cost(cost), states
 
     def _update_impl(self, state: PlannerState, x0, time, ctx=None):
         noise, optimal_shifted, shift_by, last_shift_time, rng = self._sample(
@@ -431,7 +474,7 @@ class Planner:
             update_duration=state.update_duration,
         )
         info = UpdateInfo(
-            costs=costs,
+            costs=compose_cost(costs),
             weights=weights,
             gradient=gradient,
             optimal_rollout_states=optimal_states,
