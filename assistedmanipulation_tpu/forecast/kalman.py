@@ -20,6 +20,8 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import math
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -109,5 +111,5 @@ def euler_state_transition_matrix(
             row = derivative * observed_states + state
             for j in range(order - derivative + 1):
                 col = (derivative + j) * observed_states + state
-                matrix[row, col] = time_step**j / np.math.factorial(j)
+                matrix[row, col] = time_step**j / math.factorial(j)
     return matrix
