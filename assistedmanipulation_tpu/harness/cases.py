@@ -1,0 +1,329 @@
+"""Scenario test cases (reference src/test/case/).
+
+- ``base``: simulator + actor with the assisted-manipulation objective and
+  the master DEFAULT_CONFIGURATION (base.hpp:61-196), full CSV logging.
+- ``external_wrench``: adds the PID human model pulling the end effector
+  toward a reference trajectory by applying wrench
+  (external_wrench.cpp:168-234).
+- ``circle`` / ``figure_eight`` / ``lissajous`` / ``rectangle`` / ``pose``:
+  thin config patches over external_wrench selecting the trajectory type
+  (circle.hpp:37-58 et al.) — the experiment matrix.
+- ``reach``: TrackPoint objective patch over base (reach.hpp:48-67).
+- ``angles``: quaternion round-trip check (angles.hpp:27-35).
+- ``trajectory``: trajectory generator playback to CSV (trajectory.cpp:
+  144-169, headless).
+
+Tests compose by patching other tests' defaults (DEFAULT_PATCH class attr),
+exactly the reference's merge-patch composition. The reference wart that
+JSON merge-patch cannot express "disable the optional forecast"
+(documented at pose.hpp:50-60) is fixed with an explicit
+``forecast.enabled`` flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import config as cfg
+from ..logging.csv_logger import (
+    CSVWriter,
+    DynamicsLogger,
+    ForecastLogger,
+    MPPILogger,
+    ObjectiveLogger,
+    PIDLogger,
+)
+from ..sim import pid as pid_module
+from ..sim import trajectories
+from ..sim.actor import Actor, Configuration as ActorConfiguration
+from .runner import register_test
+
+
+@dataclasses.dataclass
+class BaseConfiguration:
+    """Master defaults (base.hpp:61-196): sim dt 0.005 s, duration 15 s,
+    MPPI 50+2 rollouts / horizon 0.3 s / 20 Hz controller."""
+
+    duration: float = 15.0
+    time_step: float = 0.005
+    actor: ActorConfiguration = dataclasses.field(default_factory=ActorConfiguration)
+
+
+@register_test("base")
+class BaseTest:
+    """Canonical sim: actor + loggers, no external wrench (base.hpp:15)."""
+
+    CONFIG_CLASS = BaseConfiguration
+    DEFAULT_PATCH: dict = {}
+
+    def __init__(self, folder: str, patch: dict = None, duration: float = None):
+        merged = cfg.merge_patch(dict(self.DEFAULT_PATCH), patch or {})
+        self.configuration = cfg.patched(self.CONFIG_CLASS(), merged)
+        if duration is not None:
+            self.configuration.duration = duration
+        self.folder = folder
+
+        self.actor = Actor(self.configuration.actor, self.configuration.time_step)
+        planner = self.actor.planner
+        self.mppi_logger = MPPILogger(
+            os.path.join(folder, "mppi"),
+            planner.rollout_count,
+            planner.plant.control_dof,
+            planner.steps,
+        )
+        self.dynamics_logger = DynamicsLogger(os.path.join(folder, "dynamics"))
+        self.forecast_logger = (
+            ForecastLogger(os.path.join(folder, "forecast"))
+            if self.actor.dynamics_forecast is not None
+            else None
+        )
+        term_names = getattr(self.actor.objective, "TERM_NAMES", None)
+        if term_names is None:
+            term_names = ("point", "joint_limit", "self_collision", "reach")
+        self.objective_logger = ObjectiveLogger(
+            os.path.join(folder, "objective"), term_names
+        )
+        self.time = 0.0
+        self._last_logged_forecast = -1.0
+        self.extra_setup(folder)
+
+    def extra_setup(self, folder: str):
+        pass
+
+    def pre_step(self, time):
+        """Subclass hook: runs before actor.act each tick."""
+
+    def step(self):
+        """One sim tick (base.cpp:128-148): act, then log."""
+        import time as walltime
+
+        self.pre_step(self.time)
+        start = walltime.perf_counter()
+        self.actor.act(self.time)
+        duration = walltime.perf_counter() - start
+
+        planner_state = self.actor.planner_state
+        if self.actor.last_update_info is not None:
+            self.mppi_logger.log(
+                int(planner_state.update_count),
+                self.time,
+                self.actor.last_update_info,
+                planner_state.optimal_control,
+                duration,
+                self.actor.configuration.mppi.time_step,
+            )
+        self.dynamics_logger.log(
+            self.time, self.actor.x, self.actor.aux, self.actor.control
+        )
+        if (
+            self.forecast_logger is not None
+            and self.actor.last_forecast_rollout is not None
+            and float(self.actor.ctx.start_time) != self._last_logged_forecast
+        ):
+            self._last_logged_forecast = float(self.actor.ctx.start_time)
+            self.forecast_logger.log(
+                self._last_logged_forecast,
+                self.actor.dynamics_forecast.configuration.time_step,
+                self.actor.last_forecast_rollout,
+            )
+        terms = self.actor.objective.terms(
+            self.actor.x,
+            self.actor.control,
+            self.actor.aux,
+            jnp.asarray(self.time),
+            self.actor.ctx,
+        )
+        self.objective_logger.log(self.time, terms)
+        self.time += self.configuration.time_step
+
+    def run(self) -> bool:
+        ticks = int(self.configuration.duration / self.configuration.time_step)
+        progress_every = max(1, ticks // 20)
+        for i in range(ticks):
+            self.step()
+            if i % progress_every == 0:
+                print(".", end="", flush=True)
+        print()
+        return bool(np.isfinite(np.asarray(self.actor.x)).all())
+
+    def close(self):
+        self.mppi_logger.close()
+        self.dynamics_logger.close()
+        if self.forecast_logger is not None:
+            self.forecast_logger.close()
+        self.objective_logger.close()
+
+
+@dataclasses.dataclass
+class ExternalWrenchConfiguration(BaseConfiguration):
+    """base + the human model (external_wrench.hpp)."""
+
+    position: trajectories.PositionConfiguration = dataclasses.field(
+        default_factory=trajectories.PositionConfiguration
+    )
+    orientation: trajectories.OrientationConfiguration = None
+    force_pid: pid_module.Configuration = dataclasses.field(
+        default_factory=lambda: pid_module.HUMAN_POINT_CONTROL
+    )
+
+
+@register_test("external_wrench")
+class ExternalWrenchTest(BaseTest):
+    """PID human model applies wrench toward a reference trajectory
+    (external_wrench.cpp:168-234)."""
+
+    CONFIG_CLASS = ExternalWrenchConfiguration
+
+    def extra_setup(self, folder: str):
+        configuration = self.configuration
+        self.position = trajectories.create_position(configuration.position)
+        self.orientation = (
+            trajectories.create_orientation(configuration.orientation)
+            if configuration.orientation is not None
+            else None
+        )
+        self.force_pid = pid_module.PID(configuration.force_pid)
+        self.force_pid_state = self.force_pid.init(dtype=jnp.float32)
+        self.pid_logger = PIDLogger(
+            os.path.join(folder, "pid", "force"), configuration.force_pid.n
+        )
+
+    def pre_step(self, time):
+        """Human wrench = PID(reference(t) - ee_position)
+        (external_wrench.cpp:185-231). The orientation/torque path is
+        commented out in the reference and stays off by default."""
+        reference = self.position.position(jnp.asarray(float(time)))
+        self.force_pid_state = self.force_pid.set_reference(
+            self.force_pid_state, reference
+        )
+        ee_position = jnp.asarray(self.actor.aux.ee_position, dtype=jnp.float32)
+        self.force_pid_state = self.force_pid.update(
+            self.force_pid_state, ee_position, time
+        )
+        self.pid_logger.log(time, self.force_pid_state)
+
+        wrench = jnp.concatenate(
+            [
+                jnp.asarray(self.force_pid_state.control, dtype=jnp.float32),
+                jnp.zeros(3, dtype=jnp.float32),
+            ]
+        )
+        self.actor.add_end_effector_wrench(wrench, time)
+
+    def close(self):
+        super().close()
+        self.pid_logger.close()
+
+
+# --- the experiment matrix: trajectory patches (circle.hpp:37-58 etc.) -------
+
+
+@register_test("circle")
+class CircleTest(ExternalWrenchTest):
+    DEFAULT_PATCH = {"position": {"type": "circle"}}
+
+
+@register_test("figure_eight")
+class FigureEightTest(ExternalWrenchTest):
+    DEFAULT_PATCH = {"position": {"type": "figure_eight"}}
+
+
+@register_test("lissajous")
+class LissajousTest(ExternalWrenchTest):
+    DEFAULT_PATCH = {"position": {"type": "lissajous"}}
+
+
+@register_test("rectangle")
+class RectangleTest(ExternalWrenchTest):
+    DEFAULT_PATCH = {"position": {"type": "rectangle"}}
+
+
+@register_test("pose")
+class PoseTest(ExternalWrenchTest):
+    DEFAULT_PATCH = {
+        "position": {"type": "point", "point": {"point": [0.9, 0.9, 0.9]}}
+    }
+
+
+@register_test("reach")
+class ReachTest(BaseTest):
+    """TrackPoint objective patch over base (reach.hpp:48-67)."""
+
+    DEFAULT_PATCH = {
+        "actor": {
+            "objective": {"type": "track_point"},
+            "forecast": {"enabled": False},
+        }
+    }
+
+
+@register_test("trajectory")
+class TrajectoryPlaybackTest:
+    """Sample each trajectory generator to CSV (the reference renders them
+    in the visualizer, trajectory.cpp:144-169; headless here)."""
+
+    def __init__(self, folder: str, patch: dict = None, duration: float = None):
+        self.configuration = {"duration": duration or 10.0}
+        self.folder = folder
+        self.duration = duration or 10.0
+
+    def run(self) -> bool:
+        cases = {
+            "circle": trajectories.CircularTrajectory(
+                trajectories.CircularConfiguration()
+            ),
+            "rectangle": trajectories.RectangularTrajectory(
+                trajectories.RectangularConfiguration()
+            ),
+            "lissajous": trajectories.LissajousTrajectory(
+                trajectories.LissajousConfiguration()
+            ),
+            "figure_eight": trajectories.FigureEightTrajectory(
+                trajectories.FigureEightConfiguration()
+            ),
+        }
+        times = np.arange(0.0, self.duration, 0.05)
+        for name, trajectory in cases.items():
+            writer = CSVWriter(
+                os.path.join(self.folder, f"{name}.csv"), ["time", "x", "y", "z"]
+            )
+            positions = np.asarray(trajectory.position(jnp.asarray(times)))
+            for t, p in zip(times, positions):
+                writer.write(float(t), p)
+            writer.close()
+            if not np.isfinite(positions).all():
+                return False
+        return True
+
+    def close(self):
+        pass
+
+
+@register_test("angles")
+class AnglesTest:
+    """Quaternion <-> ZXZ euler round trip (angles.hpp:27-35)."""
+
+    def __init__(self, folder: str, patch: dict = None, duration: float = None):
+        self.configuration = {}
+
+    def run(self) -> bool:
+        from ..ops import rotations as rot
+
+        x = jnp.asarray([0.0, 0.0, np.pi / 8])
+        q = rot.euler_zxz_to_quat(x)
+        back = rot.quat_to_euler_zxz(q)
+        q2 = rot.euler_zxz_to_quat(back)
+        return bool(
+            np.allclose(
+                np.asarray(rot.quat_to_matrix(q)),
+                np.asarray(rot.quat_to_matrix(q2)),
+                atol=1e-5,
+            )
+        )
+
+    def close(self):
+        pass
