@@ -72,7 +72,9 @@ def make_sharded_update(planner: Planner, mesh: Mesh, axis: str = ROLLOUT_AXIS):
 
     update = jax.jit(
         planner._update_impl,
-        in_shardings=(state_shardings, replicated, replicated),
+        # The replicated entries are pytree prefixes: x0, time, and the whole
+        # forecast ctx replicate across the mesh.
+        in_shardings=(state_shardings, replicated, replicated, replicated),
         donate_argnums=0,
     )
     return update

@@ -1,0 +1,207 @@
+"""Fully-jitted experiment episode: the whole control experiment as one
+device program.
+
+The reference runs its experiments as a host loop at 200 Hz with a
+thread-pooled controller (base.cpp:150-163 + actor.cpp:166-203). The
+TPU-native equivalent compiles the *entire episode* — human-model PID wrench,
+forecast observation, controller updates at the configured rate division,
+plant integration — into a single ``lax.scan`` over simulator ticks. One
+dispatch runs 15 simulated seconds; outputs (end-effector trace, applied
+wrench, reference trajectory, tank energy) land as device arrays for the
+analysis metrics (mean user force, tracking RMSE — analysis.py:350-504).
+
+The controller update fires inside ``lax.cond`` on the countdown, exactly
+mirroring the actor's rate division (actor.cpp:172-192).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import mppi
+from ..forecast import forecast as fc
+from ..forecast.dynamics_forecast import (
+    Configuration as DynamicsForecastConfiguration,
+    DynamicsForecast,
+)
+from ..models import frankaridgeback as fr
+from ..models.model_data import frankaridgeback_model
+from ..objectives.assisted_manipulation import (
+    AssistedManipulation,
+    ForecastContext,
+)
+from . import pid as pid_module
+from . import trajectories
+
+
+class EpisodeOutputs(NamedTuple):
+    ee_position: jax.Array  # (ticks, 3)
+    reference: jax.Array  # (ticks, 3)
+    wrench: jax.Array  # (ticks, 6)
+    control: jax.Array  # (ticks, 12)
+    tank_energy: jax.Array  # (ticks,)
+    optimal_cost: jax.Array  # (ticks,)
+
+
+@dataclasses.dataclass
+class EpisodeConfiguration:
+    duration: float = 15.0
+    time_step: float = 0.005
+    controller_rate: float = 0.05
+    forecast_time_step: float = 0.01
+    forecast_horizon: float = 0.3
+    wrench_enabled: bool = True  # False = "unassisted-of-wrench" base run
+
+
+class Episode:
+    """Compiles one experiment configuration into a single jitted run."""
+
+    def __init__(
+        self,
+        mppi_configuration: mppi.Configuration,
+        objective,
+        trajectory,
+        episode: EpisodeConfiguration = None,
+        wrench_strategy=None,
+        robot_configuration: fr.Configuration = None,
+        pid_configuration: pid_module.Configuration = None,
+        dtype=jnp.float32,
+    ):
+        self.episode = episode or EpisodeConfiguration()
+        self.dtype = dtype
+        self.model = frankaridgeback_model()
+        self.robot_configuration = robot_configuration or fr.Configuration()
+        _, self._kp, self._kd = self.robot_configuration.resolve()
+
+        self.objective = objective
+        plant = fr.make_plant(objective, self.robot_configuration, self.model)
+        self.planner = mppi.Planner(mppi_configuration, plant)
+        self.trajectory = trajectory
+        self.pid = pid_module.PID(
+            pid_configuration or pid_module.HUMAN_POINT_CONTROL
+        )
+        self.wrench_strategy = wrench_strategy or fc.KalmanForecast(
+            fc.KalmanForecastConfiguration(
+                observed_states=6,
+                order=1,
+                time_step=self.episode.forecast_time_step,
+                horizon=self.episode.forecast_horizon,
+            )
+        )
+        self.dynamics_forecast = DynamicsForecast(
+            DynamicsForecastConfiguration(
+                time_step=self.episode.forecast_time_step,
+                horizon=self.episode.forecast_horizon,
+            ),
+            self.robot_configuration,
+            self.model,
+        )
+
+        self.ticks = int(round(self.episode.duration / self.episode.time_step))
+        self.countdown_max = int(
+            round(self.episode.controller_rate / self.episode.time_step)
+        )
+        self._run = jax.jit(self._run_impl)
+
+    def init_carry(self, seed: int = 0):
+        initial, _, _ = self.robot_configuration.resolve()
+        return (
+            jnp.asarray(initial, dtype=self.dtype),
+            self.planner.init(seed=seed),
+            self.wrench_strategy.init(self.dtype),
+            self.pid.init(self.dtype),
+            jnp.asarray(0, dtype=jnp.int32),  # countdown: update on first tick
+        )
+
+    def run(self, seed: int = 0) -> EpisodeOutputs:
+        return self._run(self.init_carry(seed))
+
+    def _run_impl(self, carry) -> EpisodeOutputs:
+        dt = self.episode.time_step
+        kp = jnp.asarray(self._kp, dtype=self.dtype)
+        kd = jnp.asarray(self._kd, dtype=self.dtype)
+        model = self.model
+        planner = self.planner
+        strategy = self.wrench_strategy
+        forecaster = self.dynamics_forecast
+        pid = self.pid
+        trajectory = self.trajectory
+        wrench_on = self.episode.wrench_enabled
+
+        def tick(carry, k):
+            x, planner_state, strategy_state, pid_state, countdown = carry
+            t = k.astype(self.dtype) * dt
+
+            aux = fr.derive_aux(model, x)
+
+            # Human model wrench (external_wrench.cpp:185-231).
+            reference = trajectory.position(t).astype(self.dtype)
+            pid_state = pid.set_reference(pid_state, reference)
+            pid_state = pid.update(pid_state, aux.ee_position, t)
+            wrench = jnp.concatenate(
+                [pid_state.control, jnp.zeros(3, dtype=self.dtype)]
+            )
+            if not wrench_on:
+                wrench = jnp.zeros(6, dtype=self.dtype)
+
+            # Forecast observation every tick (forecast_rate = 0,
+            # base.hpp:150, actor.cpp:154-163).
+            strategy_state = strategy.update(strategy_state, wrench, t)
+
+            # Controller update at the rate division (actor.cpp:172-192).
+            def do_update(operand):
+                planner_state, x, strategy_state = operand
+                _, ctx = forecaster.forecast(
+                    x, t, lambda tq: strategy.forecast(strategy_state, tq)
+                )
+                new_state, _ = planner._update_impl(planner_state, x, t, ctx)
+                return new_state
+
+            def skip_update(operand):
+                planner_state, _, _ = operand
+                return planner_state
+
+            fire = countdown <= 0
+            planner_state = jax.lax.cond(
+                fire, do_update, skip_update, (planner_state, x, strategy_state)
+            )
+            countdown = jnp.where(fire, self.countdown_max - 1, countdown - 1)
+
+            u = planner._get_impl(planner_state, t)
+            x_next = fr.integrate_with_wrench(model, kp, kd, x, u, aux, wrench, dt)
+
+            outputs = EpisodeOutputs(
+                ee_position=aux.ee_position,
+                reference=reference,
+                wrench=wrench,
+                control=u,
+                tank_energy=x[fr.ENERGY],
+                optimal_cost=planner_state.optimal_cost,
+            )
+            return (x_next, planner_state, strategy_state, pid_state, countdown), outputs
+
+        _, outputs = jax.lax.scan(
+            tick, carry, jnp.arange(self.ticks, dtype=jnp.int32)
+        )
+        return outputs
+
+
+def episode_metrics(outputs: EpisodeOutputs) -> dict:
+    """The analysis summary metrics (analysis.py:350-504): mean user force
+    magnitude and reference-tracking RMSE."""
+    force = np.linalg.norm(np.asarray(outputs.wrench[:, :3], dtype=np.float64), axis=-1)
+    error = np.asarray(outputs.ee_position, dtype=np.float64) - np.asarray(
+        outputs.reference, dtype=np.float64
+    )
+    rmse = float(np.sqrt(np.mean(np.sum(error**2, axis=-1))))
+    return {
+        "mean_force": float(force.mean()),
+        "max_force": float(force.max()),
+        "rmse": rmse,
+        "final_energy": float(np.asarray(outputs.tank_energy)[-1]),
+    }

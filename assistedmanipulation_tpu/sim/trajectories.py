@@ -39,7 +39,7 @@ class PointConfiguration:
 
 class PointTrajectory:
     def __init__(self, configuration: PointConfiguration):
-        self._point = jnp.asarray(configuration.point, dtype=jnp.float64)
+        self._point = jnp.asarray(configuration.point)
 
     def position(self, time):
         return jnp.broadcast_to(self._point, jnp.shape(time) + (3,))
@@ -71,7 +71,7 @@ class CircularTrajectory:
         self._point = jnp.asarray(
             projected / np.linalg.norm(projected) * configuration.radius
         )
-        self._origin = jnp.asarray(configuration.origin, dtype=jnp.float64)
+        self._origin = jnp.asarray(configuration.origin)
         self._axis = jnp.asarray(axis)
         self._angular_velocity = configuration.angular_velocity
 
@@ -215,7 +215,7 @@ class AxisAngleTrajectory:
         )
         qa = quat_from_two_vectors(
             jnp.asarray([0.0, 0.0, 1.0]),
-            jnp.asarray(configuration.axis, dtype=jnp.float64),
+            jnp.asarray(configuration.axis),
         )
         self._orientation = quat_multiply(qz, qa)
 
@@ -241,7 +241,7 @@ class SlerpTrajectory:
         def make(axis, angle):
             qz = quat_from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray(angle))
             qa = quat_from_two_vectors(
-                jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray(axis, dtype=jnp.float64)
+                jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray(axis)
             )
             return quat_multiply(qz, qa)
 

