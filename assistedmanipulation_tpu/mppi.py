@@ -183,7 +183,11 @@ class Planner:
     (mppi.cpp:11-77) but raises instead of returning nullptr.
     """
 
-    def __init__(self, configuration: Configuration, plant: Plant):
+    def __init__(self, configuration: Configuration, plant: Plant, rollout_fn=None):
+        """``rollout_fn(noise, optimal_shifted, x0, time, ctx) -> (R, 2)``
+        optionally replaces the generic vmap rollout with a fused batch
+        evaluator (e.g. the batch-minor lanes path or a Pallas kernel,
+        kernels/lane_rollout.py) — semantics must match _rollout_batch."""
         cfg = configuration
         dof = plant.control_dof
         if cfg.covariance is None:
@@ -209,6 +213,7 @@ class Planner:
 
         self.configuration = cfg
         self.plant = plant
+        self.rollout_fn = rollout_fn
         self.dtype = jnp.dtype(cfg.dtype)
         self.steps = cfg.step_count
         self.rollout_count = cfg.rollout_count
@@ -345,6 +350,8 @@ class Planner:
     def _rollout_batch(self, noise, optimal_shifted, x0, time, ctx):
         """Batched rollouts (mppi.cpp:272-342): per rollout, scan the horizon
         accumulating discounted cost with NaN poisoning."""
+        if self.rollout_fn is not None:
+            return self.rollout_fn(noise, optimal_shifted, x0, time, ctx)
         dt = self.configuration.time_step
         plant = self.plant
         discount = self._discount

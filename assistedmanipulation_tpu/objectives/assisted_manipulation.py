@@ -137,8 +137,12 @@ class AssistedManipulation:
     def __init__(self, configuration: Configuration = None):
         self.configuration = configuration or Configuration()
         c = self.configuration
-        self._lower = [LeftInverseBarrier(b, s) for b, s in c.lower_joint_limit]
-        self._upper = [RightInverseBarrier(b, s) for b, s in c.upper_joint_limit]
+        # Array-parameterized barriers: all 12 joints evaluate in one
+        # vectorized decomposed() call (the bounds/scales broadcast).
+        lower = np.asarray(c.lower_joint_limit)
+        upper = np.asarray(c.upper_joint_limit)
+        self._lower = LeftInverseBarrier(lower[:, 0], lower[:, 1])
+        self._upper = RightInverseBarrier(upper[:, 0], upper[:, 1])
         self._collision = LeftInverseBarrier(*c.self_collision_limit)
         self._above = LeftInverseBarrier(*c.workspace_limit_above)
         self._infront = LeftInverseBarrier(*c.workspace_limit_infront)
@@ -167,13 +171,9 @@ class AssistedManipulation:
     # scalar for logging/tests.
 
     def joint_limit_channels(self, q):
-        violations, smooth = 0.0, 0.0
-        for i in range(12):
-            vl, sl = self._lower[i].decomposed(q[i])
-            vu, su = self._upper[i].decomposed(q[i])
-            violations = violations + vl + vu
-            smooth = smooth + sl + su
-        return violations, smooth
+        vl, sl = self._lower.decomposed(q)
+        vu, su = self._upper.decomposed(q)
+        return jnp.sum(vl + vu), jnp.sum(sl + su)
 
     def joint_limit_cost(self, q):
         return _compose(self.joint_limit_channels(q))

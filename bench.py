@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_franka_planner(rollouts: int, steps: int):
+def build_franka_planner(rollouts: int, steps: int, backend: str = "lanes"):
     from assistedmanipulation_tpu import mppi
     from assistedmanipulation_tpu.models import frankaridgeback as fr
     from assistedmanipulation_tpu.objectives.assisted_manipulation import (
@@ -44,6 +44,12 @@ def build_franka_planner(rollouts: int, steps: int):
         smoothing=mppi.Smoothing(window=10, order=1),
         dtype="float32",
     )
+    if backend == "lanes":
+        from assistedmanipulation_tpu.kernels.lane_rollout import (
+            make_lanes_planner,
+        )
+
+        return make_lanes_planner(configuration)
     objective = AssistedManipulation()
     plant = fr.make_plant(objective, fr.Configuration())
     return mppi.Planner(configuration, plant)
@@ -69,8 +75,9 @@ def main():
     rollouts = int(os.environ.get("BENCH_ROLLOUTS", 10_000 - 2))
     steps = int(os.environ.get("BENCH_STEPS", 50))
     iterations = int(os.environ.get("BENCH_ITERS", 30))
+    backend = os.environ.get("BENCH_BACKEND", "lanes")
 
-    planner = build_franka_planner(rollouts, steps)
+    planner = build_franka_planner(rollouts, steps, backend)
     ctx = make_forecast_ctx(steps)
     state = planner.init(seed=0)
     x0 = jnp.asarray(fr.make_state("huddled"), dtype=jnp.float32)
