@@ -199,7 +199,7 @@ def step_cost_and_dynamics(
         v1n = jnp.sqrt(to_ee[0] ** 2 + to_ee[1] ** 2)
         denom = v1n  # |forward_xy| = 1
         cos_angle = jnp.clip(projection / jnp.where(denom > 0, denom, 1.0), -1.0, 1.0)
-        angle = jnp.arccos(cos_angle)
+        angle = L.acos(cos_angle)
         smooth = smooth + jnp.where(
             denom > 0, cfg.workspace_cost_yaw * angle * angle, 0.0
         )

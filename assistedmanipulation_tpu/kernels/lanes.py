@@ -104,6 +104,33 @@ def mat3_T(A):
     return [[A[j][i] for j in range(3)] for i in range(3)]
 
 
+def acos(x):
+    """f32-accurate arccos from VPU-native ops only (Mosaic has no acos
+    lowering). Standard libm reduction: asin poly (Cephes asinf, ~1 ulp) on
+    |x| <= 0.5, half-angle identity outside."""
+    half_pi = math.pi / 2
+    ax = jnp.abs(x)
+
+    def asin_poly(v):  # |v| <= ~0.7071; v = sin(theta)
+        z = v * v
+        p = 4.2163199048e-2
+        p = p * z + 2.4181311049e-2
+        p = p * z + 4.5470025998e-2
+        p = p * z + 7.4953002686e-2
+        p = p * z + 1.6666752422e-1
+        return v + v * z * p
+
+    # |x| > 0.5: acos(|x|) = 2 asin(sqrt((1 - |x|) / 2)).
+    s = jnp.sqrt(jnp.maximum(0.5 * (1.0 - ax), 0.0))
+    acos_big = 2.0 * asin_poly(s)
+    acos_small = half_pi - asin_poly(x)  # signed, |x| <= 0.5
+    big = ax > 0.5
+    # Reflect for negative x in the big branch: acos(-x) = pi - acos(x).
+    return jnp.where(
+        big, jnp.where(x < 0, math.pi - acos_big, acos_big), acos_small
+    )
+
+
 def materialize(value, like: jax.Array) -> jax.Array:
     """Turn a graph value into a concrete (T,) array."""
     if value is None:

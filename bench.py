@@ -50,6 +50,12 @@ def build_franka_planner(rollouts: int, steps: int, backend: str = "lanes"):
         )
 
         return make_lanes_planner(configuration)
+    if backend == "pallas":
+        from assistedmanipulation_tpu.kernels.pallas_rollout import (
+            make_pallas_planner,
+        )
+
+        return make_pallas_planner(configuration)
     objective = AssistedManipulation()
     plant = fr.make_plant(objective, fr.Configuration())
     return mppi.Planner(configuration, plant)
