@@ -183,11 +183,23 @@ class Planner:
     (mppi.cpp:11-77) but raises instead of returning nullptr.
     """
 
-    def __init__(self, configuration: Configuration, plant: Plant, rollout_fn=None):
+    def __init__(
+        self,
+        configuration: Configuration,
+        plant: Plant,
+        rollout_fn=None,
+        filter_fn=None,
+    ):
         """``rollout_fn(noise, optimal_shifted, x0, time, ctx) -> (R, 2)``
         optionally replaces the generic vmap rollout with a fused batch
         evaluator (e.g. the batch-minor lanes path or a Pallas kernel,
-        kernels/lane_rollout.py) — semantics must match _rollout_batch."""
+        kernels/lane_rollout.py) — semantics must match _rollout_batch.
+
+        ``filter_fn(x, u, t) -> u_safe`` is the per-step trajectory filter
+        (mppi::Filter, mppi.hpp:150-176) applied during the optimal
+        re-rollout; filtered controls write back into the published sequence
+        exactly like the reference's Eigen block mutation (mppi.cpp:460-466).
+        See safety.make_safety_filter for the QP-backed implementation."""
         cfg = configuration
         dof = plant.control_dof
         if cfg.covariance is None:
@@ -214,6 +226,7 @@ class Planner:
         self.configuration = cfg
         self.plant = plant
         self.rollout_fn = rollout_fn
+        self.filter_fn = filter_fn
         self.dtype = jnp.dtype(cfg.dtype)
         self.steps = cfg.step_count
         self.rollout_count = cfg.rollout_count
@@ -434,29 +447,36 @@ class Planner:
         return optimal, weights, gradient, sg_buffer, degenerate
 
     def _filter_rollout(self, optimal, x0, time, ctx):
-        """Re-rollout the optimal sequence for its cost and states
-        (mppi::Trajectory::filter, mppi.cpp:450-479). The optional per-step
-        safety filter hook lives in safety/ and wraps the plant."""
+        """Re-rollout the optimal sequence for its cost and states, applying
+        the optional per-step safety filter and writing the filtered controls
+        back into the published sequence (mppi::Trajectory::filter,
+        mppi.cpp:450-479; the Eigen column reference at :462 makes the
+        reference's filter mutate m_optimal_control_shifted in place)."""
         dt = self.configuration.time_step
         plant = self.plant
         discount = self._discount
+        filter_fn = self.filter_fn
 
         def body(carry, inputs):
             x, total = carry
             u, step = inputs
             t = time + step * dt
+            if filter_fn is not None:
+                u = filter_fn(x, u, t).astype(u.dtype)
             aux = plant.derive(x, t, ctx)
             step_cost = as_cost_channels(plant.cost(x, u, aux, t, ctx))
             step_cost = step_cost.astype(total.dtype)
             total = total + step_cost * discount**step
             x_next = plant.integrate(x, u, aux, t, dt, ctx)
-            return (x_next, total), x
+            return (x_next, total), (x, u)
 
         steps = jnp.arange(self.steps, dtype=self.dtype)
-        (_, cost), states = jax.lax.scan(
+        (_, cost), (states, filtered) = jax.lax.scan(
             body, (x0, jnp.zeros(2, dtype=self.dtype)), (optimal, steps)
         )
-        return compose_cost(cost), states
+        if filter_fn is not None:
+            optimal = filtered
+        return compose_cost(cost), states, optimal
 
     def _update_impl(self, state: PlannerState, x0, time, ctx=None):
         noise, optimal_shifted, shift_by, last_shift_time, rng = self._sample(
@@ -466,7 +486,9 @@ class Planner:
         optimal, weights, gradient, sg_buffer, degenerate = self._optimise(
             costs, noise, optimal_shifted, state.sg_buffer, shift_by
         )
-        optimal_cost, optimal_states = self._filter_rollout(optimal, x0, time, ctx)
+        optimal_cost, optimal_states, optimal = self._filter_rollout(
+            optimal, x0, time, ctx
+        )
 
         new_state = PlannerState(
             optimal_control=optimal,
