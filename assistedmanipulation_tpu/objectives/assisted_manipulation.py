@@ -61,13 +61,19 @@ class ForecastContext(NamedTuple):
     horizon: float
 
     def wrench(self, t):
+        horizon = self.wrench_horizon
+        if horizon.ndim == 3:
+            # Scenario-batched ctx (forecast/scenarios.py): pointwise reads
+            # (objective cost, optimal re-rollout) use the nominal scenario;
+            # the ensemble axis is consumed by make_scenario_rollout_fn.
+            horizon = horizon[0]
         rel = (t - self.start_time) / self.time_step
-        steps = self.wrench_horizon.shape[0] - 1
+        steps = horizon.shape[0] - 1
         lower = jnp.clip(rel.astype(jnp.int32), 0, steps - 1)
         frac = jnp.clip(rel - lower, 0.0, 1.0)
         value = (
-            (1.0 - frac) * self.wrench_horizon[lower]
-            + frac * self.wrench_horizon[lower + 1]
+            (1.0 - frac) * horizon[lower]
+            + frac * horizon[lower + 1]
         )
         beyond = (t - self.start_time) > self.horizon
         return jnp.where(beyond, jnp.zeros_like(value), value)

@@ -81,7 +81,7 @@ def main():
     rollouts = int(os.environ.get("BENCH_ROLLOUTS", 10_000 - 2))
     steps = int(os.environ.get("BENCH_STEPS", 50))
     iterations = int(os.environ.get("BENCH_ITERS", 30))
-    backend = os.environ.get("BENCH_BACKEND", "lanes")
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
 
     planner = build_franka_planner(rollouts, steps, backend)
     ctx = make_forecast_ctx(steps)
