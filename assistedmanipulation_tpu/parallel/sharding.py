@@ -24,6 +24,7 @@ from ..mppi import Planner, PlannerState
 
 
 ROLLOUT_AXIS = "rollouts"
+SCENARIO_AXIS = "scenarios"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = ROLLOUT_AXIS) -> Mesh:
@@ -31,6 +32,41 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = ROLLOU
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_scenario_mesh(
+    scenarios: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D mesh (scenarios x rollouts): the forecast-scenario ensemble axis
+    shards over one mesh dimension and the rollout batch over the other —
+    BASELINE config 5's layout. The scenario mean reduction becomes a psum
+    over the scenario axis; rollout weighting reduces over the rollout axis."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if devices.size % scenarios:
+        raise ValueError(
+            f"{devices.size} devices not divisible by {scenarios} scenarios"
+        )
+    grid = devices.reshape(scenarios, devices.size // scenarios)
+    return Mesh(grid, (SCENARIO_AXIS, ROLLOUT_AXIS))
+
+
+def initialize_multi_host(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Join a multi-host (multi-process) run: jax.distributed.initialize
+    with explicit or env-provided topology. After this, jax.devices() spans
+    every host's chips and the same mesh/sharding code scales over DCN —
+    the reference had no multi-node story at all (SURVEY §2.6)."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def planner_state_shardings(planner: Planner, mesh: Mesh, axis: str = ROLLOUT_AXIS):
@@ -60,21 +96,45 @@ def shard_planner_state(
     return jax.tree.map(jax.device_put, state, shardings)
 
 
-def make_sharded_update(planner: Planner, mesh: Mesh, axis: str = ROLLOUT_AXIS):
+def make_sharded_update(
+    planner: Planner,
+    mesh: Mesh,
+    axis: str = ROLLOUT_AXIS,
+    ctx_shardings=None,
+):
     """Jit the planner update with explicit in/out shardings over the mesh.
 
     The rollout count must be divisible by the mesh size for an even layout
     (the reference tolerated ragged thread partitions via std::div,
     mppi.cpp:277-287; on TPU we require divisibility for static shapes).
+
+    ``ctx_shardings``: optional sharding pytree for the forecast ctx — pass
+    ``scenario_ctx_shardings(mesh)`` to shard a scenario-ensemble ctx over
+    the scenario mesh axis; by default the ctx replicates.
     """
     state_shardings = planner_state_shardings(planner, mesh, axis)
     replicated = NamedSharding(mesh, P())
+    if ctx_shardings is None:
+        ctx_shardings = replicated
 
     update = jax.jit(
         planner._update_impl,
-        # The replicated entries are pytree prefixes: x0, time, and the whole
-        # forecast ctx replicate across the mesh.
-        in_shardings=(state_shardings, replicated, replicated, replicated),
+        # The replicated entries are pytree prefixes: x0 and time replicate
+        # across the mesh.
+        in_shardings=(state_shardings, replicated, replicated, ctx_shardings),
         donate_argnums=0,
     )
     return update
+
+
+def scenario_ctx_shardings(mesh: Mesh, axis: str = SCENARIO_AXIS):
+    """ForecastContext shardings for a scenario-batched ctx: the (C, S+1, 6)
+    wrench ensemble splits over the scenario mesh axis, scalars replicate."""
+    from ..objectives.assisted_manipulation import ForecastContext
+
+    return ForecastContext(
+        wrench_horizon=NamedSharding(mesh, P(axis)),
+        start_time=NamedSharding(mesh, P()),
+        time_step=None,
+        horizon=None,
+    )

@@ -1,0 +1,104 @@
+"""Scaling-efficiency benchmark: solves/s vs device count.
+
+BASELINE.json target: >= 80% solves/s scaling efficiency at 1 chip / 1 host /
+N hosts with rollouts sharded over the mesh. This script measures weak
+scaling (rollouts grow with the mesh, the honest MPPI scaling mode: more
+devices buy a bigger sample population per solve at the same rate) and
+reports efficiency = rate_N / rate_1 (weak) per mesh size.
+
+On a multi-chip TPU slice run it as-is; on a single-chip or CPU machine use
+SCALING_FAKE_DEVICES=8 to validate the sharded program path on virtual
+devices (timings then measure the path, not ICI).
+
+Multi-host: launch one process per host with JAX_COORDINATOR/... env and
+pass --multihost (parallel/sharding.initialize_multi_host).
+
+Usage:
+    [SCALING_FAKE_DEVICES=8] python scripts/scaling_bench.py
+        [--rollouts-per-device 1024] [--steps 50] [--iters 10] [--multihost]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+fake = os.environ.get("SCALING_FAKE_DEVICES")
+if fake:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={fake}"
+    ).strip()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rollouts-per-device", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--multihost", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if fake:
+        jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        from assistedmanipulation_tpu.parallel.sharding import (
+            initialize_multi_host,
+        )
+
+        initialize_multi_host()
+
+    import jax.numpy as jnp
+    from bench import build_franka_planner, make_forecast_ctx
+    from assistedmanipulation_tpu.models import frankaridgeback as fr
+    from assistedmanipulation_tpu.parallel import sharding
+
+    devices = jax.devices()
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+    ctx = make_forecast_ctx(args.steps)
+    x0 = jnp.asarray(fr.make_state("huddled"), dtype=jnp.float32)
+
+    results = []
+    for n in sizes:
+        rollouts = args.rollouts_per_device * n - 2
+        planner = build_franka_planner(
+            rollouts, args.steps, os.environ.get("BENCH_BACKEND", "lanes")
+        )
+        mesh = sharding.make_mesh(devices[:n])
+        state = sharding.shard_planner_state(planner, planner.init(seed=0), mesh)
+        update = sharding.make_sharded_update(planner, mesh)
+
+        state, _ = update(state, x0, jnp.asarray(0.0, jnp.float32), ctx)
+        jax.block_until_ready(state.optimal_control)
+
+        start = time.perf_counter()
+        t = 0.0
+        for _ in range(args.iters):
+            t += 0.01
+            state, _ = update(state, x0, jnp.asarray(t, jnp.float32), ctx)
+        jax.block_until_ready(state.optimal_control)
+        elapsed = time.perf_counter() - start
+
+        rate = args.iters / elapsed
+        results.append(
+            {
+                "devices": n,
+                "rollouts": planner.rollout_count,
+                "solves_per_s": round(rate, 2),
+                "rollouts_per_s": round(rate * planner.rollout_count),
+            }
+        )
+
+    base = results[0]["solves_per_s"]
+    for row in results:
+        row["weak_scaling_efficiency"] = round(row["solves_per_s"] / base, 3)
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

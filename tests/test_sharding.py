@@ -1,0 +1,129 @@
+"""Rollout/scenario sharding over the 8-device virtual CPU mesh
+(parallel/sharding.py) — sharded updates must agree with unsharded ones."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from assistedmanipulation_tpu import mppi
+from assistedmanipulation_tpu.models import point_mass
+from assistedmanipulation_tpu.parallel import sharding
+
+
+def _planner(rollouts: int):
+    configuration = mppi.Configuration(
+        rollouts=rollouts,
+        keep_best_rollouts=rollouts // 4,
+        time_step=0.1,
+        horizon=0.5,
+        covariance=np.eye(2) * 0.5,
+        control_min=-np.ones(2),
+        control_max=np.ones(2),
+        smoothing=None,
+        dtype="float32",
+    )
+    plant = point_mass.make_point_mass_plant(point_mass.PointMassConfig())
+    return mppi.Planner(configuration, plant)
+
+
+def test_sharded_update_matches_unsharded():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    planner = _planner(rollouts=14)  # 16 with statics = 2 per device
+    mesh = sharding.make_mesh(jax.devices()[:8])
+
+    x0 = jnp.zeros(4, dtype=jnp.float32)
+    baseline = planner.init(seed=3)
+    expected, _ = planner.update(baseline, x0, 0.0)
+
+    state = sharding.shard_planner_state(planner, planner.init(seed=3), mesh)
+    update = sharding.make_sharded_update(planner, mesh)
+    got, _ = update(state, x0, jnp.asarray(0.0, jnp.float32), None)
+
+    np.testing.assert_allclose(
+        np.asarray(got.optimal_control),
+        np.asarray(expected.optimal_control),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    # The rollout-major arrays actually shard over the mesh.
+    assert not got.noise.sharding.is_fully_replicated
+
+
+def test_scenario_mesh_layout():
+    mesh = sharding.make_scenario_mesh(2, jax.devices()[:8])
+    assert mesh.axis_names == (sharding.SCENARIO_AXIS, sharding.ROLLOUT_AXIS)
+    assert mesh.devices.shape == (2, 4)
+    with pytest.raises(ValueError, match="divisible"):
+        sharding.make_scenario_mesh(3, jax.devices()[:8])
+
+
+def test_scenario_sharded_franka_update():
+    """Config 5 layout end-to-end on the virtual mesh: scenario-ensemble ctx
+    sharded over the scenario axis, rollouts over the rollout axis."""
+    from assistedmanipulation_tpu.forecast.scenarios import (
+        make_scenario_rollout_fn,
+    )
+    from assistedmanipulation_tpu.kernels.lane_rollout import (
+        make_lanes_rollout_fn,
+    )
+    from assistedmanipulation_tpu.models import frankaridgeback as fr
+    from assistedmanipulation_tpu.models.model_data import frankaridgeback_model
+    from assistedmanipulation_tpu.objectives.assisted_manipulation import (
+        AssistedManipulation,
+        Configuration as ObjectiveConfiguration,
+        ForecastContext,
+    )
+
+    steps = 3
+    configuration = mppi.Configuration(
+        rollouts=6,  # 8 with statics = 2 per rollout-axis shard
+        keep_best_rollouts=2,
+        time_step=0.01,
+        horizon=steps * 0.01,
+        covariance=fr.DEFAULT_COVARIANCE,
+        control_min=fr.DEFAULT_CONTROL_MIN,
+        control_max=fr.DEFAULT_CONTROL_MAX,
+        control_default=np.zeros(12),
+        smoothing=None,
+        dtype="float32",
+    )
+    model = frankaridgeback_model()
+    plant = fr.make_plant(AssistedManipulation(), fr.Configuration(), model)
+    rollout_fn = make_scenario_rollout_fn(
+        make_lanes_rollout_fn(
+            model, ObjectiveConfiguration(), fr.Configuration(), steps, 0.01
+        )
+    )
+    planner = mppi.Planner(configuration, plant, rollout_fn=rollout_fn)
+
+    rng = np.random.default_rng(0)
+    horizons = jnp.asarray(
+        rng.normal(scale=10.0, size=(2, steps + 1, 6)), dtype=jnp.float32
+    )
+    ctx = ForecastContext(
+        wrench_horizon=horizons,
+        start_time=jnp.asarray(0.0, jnp.float32),
+        time_step=0.01,
+        horizon=steps * 0.01,
+    )
+    x0 = jnp.asarray(fr.make_state("huddled"), dtype=jnp.float32)
+
+    expected, _ = planner.update(planner.init(seed=1), x0, 0.0, ctx)
+
+    mesh = sharding.make_scenario_mesh(2, jax.devices()[:8])
+    state = sharding.shard_planner_state(planner, planner.init(seed=1), mesh)
+    update = sharding.make_sharded_update(
+        planner,
+        mesh,
+        ctx_shardings=sharding.scenario_ctx_shardings(mesh),
+    )
+    sharded_ctx = jax.device_put(ctx, sharding.scenario_ctx_shardings(mesh))
+    got, _ = update(state, x0, jnp.asarray(0.0, jnp.float32), sharded_ctx)
+
+    np.testing.assert_allclose(
+        np.asarray(got.optimal_control),
+        np.asarray(expected.optimal_control),
+        rtol=1e-4,
+        atol=1e-5,
+    )
