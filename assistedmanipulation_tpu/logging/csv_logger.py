@@ -27,6 +27,12 @@ from typing import Iterable, Optional
 
 import numpy as np
 
+try:  # Native buffered writer (native/fastlog.c); built via
+    # `python native/setup.py build_ext --inplace`.
+    from .. import _fastlog
+except ImportError:  # pragma: no cover - depends on the build
+    _fastlog = None
+
 
 def _flatten(values) -> list:
     flat = []
@@ -55,23 +61,40 @@ class CSVWriter:
     def __init__(self, path: str, header: Iterable[str], flush_every: int = 256):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         self.path = path
-        self._rows: list[str] = []
-        self._flush_every = flush_every
-        self._handle = open(path, "w", buffering=1 << 16)
-        self._handle.write(",".join(str(h) for h in _flatten(header)) + "\n")
+        header_line = ",".join(str(h) for h in _flatten(header))
+        if _fastlog is not None:
+            # Native path: C writer with its own 1 MiB buffer and identical
+            # shortest-round-trip float formatting (native/fastlog.c).
+            self._native = _fastlog.Writer(path, header_line)
+            self._handle = None
+        else:
+            self._native = None
+            self._rows: list[str] = []
+            self._flush_every = flush_every
+            self._handle = open(path, "w", buffering=1 << 16)
+            self._handle.write(header_line + "\n")
 
     def write(self, *values):
         row = _flatten(values)
+        if self._native is not None:
+            self._native.write_row(row)
+            return
         self._rows.append(",".join(repr(v) if isinstance(v, float) else str(v) for v in row))
         if len(self._rows) >= self._flush_every:
             self.flush()
 
     def flush(self):
+        if self._native is not None:
+            self._native.flush()
+            return
         if self._rows:
             self._handle.write("\n".join(self._rows) + "\n")
             self._rows.clear()
 
     def close(self):
+        if self._native is not None:
+            self._native.close()
+            return
         self.flush()
         self._handle.close()
 

@@ -35,6 +35,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .linalg import cholesky_factor, solve_factored
+
 
 class QPSolution(NamedTuple):
     x: jax.Array  # (n,) primal solution
@@ -88,12 +90,12 @@ def solve_qp(
     def run_block(carry, _):
         x, z, y, rho = carry
         K = P + sigma_eye + rho * (A.T @ A)
-        chol = jax.scipy.linalg.cho_factor(K, lower=True)
+        chol = cholesky_factor(K)
 
         def body(_, carry):
             x, z, y = carry
             rhs = sigma * x - q + A.T @ (rho * z - y)
-            x_tilde = jax.scipy.linalg.cho_solve(chol, rhs)
+            x_tilde = solve_factored(chol, rhs)
             z_tilde = A @ x_tilde
             x_next = alpha * x_tilde + (1.0 - alpha) * x
             z_hat = alpha * z_tilde + (1.0 - alpha) * z

@@ -44,6 +44,7 @@ from .models import frankaridgeback as fr
 from .models import dynamics as dyn
 from .models import kinematics as kin
 from .models.model_data import RobotModel, frankaridgeback_model
+from .ops import linalg
 from .ops.admm_qp import project_box_affine
 
 # Franka Research 3 joint velocity / acceleration datasheet limits (rad/s,
@@ -143,10 +144,10 @@ def make_safety_filter(
 
         kd = jnp.asarray(kd_np, dtype=dtype)
         K = mass + dt * jnp.diag(kd)
-        chol = jax.scipy.linalg.cho_factor(K, lower=True)
+        L = linalg.cholesky_factor(K)
         B = jnp.asarray(B_np, dtype=dtype)
-        G = jax.scipy.linalg.cho_solve(chol, B)  # (12, 12)
-        d = jax.scipy.linalg.cho_solve(chol, -kd * v)  # (12,)
+        G = linalg.solve_matrix(L, B)  # (12, 12)
+        d = linalg.solve_factored(L, -kd * v)  # (12,)
 
         rows, lows, highs = [], [], []
 

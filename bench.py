@@ -11,7 +11,10 @@ dynamics (batched FK + CRBA mass matrix + implicit-PD forward dynamics) with
 the 7-term assisted-manipulation objective and a live forecast context —
 not a toy point mass.
 
-Env overrides: BENCH_ROLLOUTS, BENCH_STEPS, BENCH_ITERS.
+Env overrides: BENCH_ROLLOUTS, BENCH_STEPS, BENCH_ITERS, BENCH_BACKEND
+(pallas | lanes | vmap), BENCH_PROFILE=<dir> to capture a jax.profiler trace
+of the timed iterations (SURVEY §5.1: per-kernel timing is the headline
+observability the reference lacked).
 """
 
 import json
@@ -92,6 +95,10 @@ def main():
     state, _ = planner.update(state, x0, 0.0, ctx)
     jax.block_until_ready(state.optimal_control)
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     t0 = time.perf_counter()
     t = 0.0
     for _ in range(iterations):
@@ -99,6 +106,9 @@ def main():
         state, _ = planner.update(state, x0, t, ctx)
     jax.block_until_ready(state.optimal_control)
     elapsed = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     solves_per_second = iterations / elapsed
     rollouts_per_second = solves_per_second * planner.rollout_count
