@@ -171,3 +171,10 @@ def quat_from_two_vectors(a, b):
     q_anti = jnp.concatenate([jnp.zeros_like(w), orthogonal], axis=-1)
     q = jnp.where(antiparallel[..., None], q_anti, q)
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def euler_difference(a, b):
+    """Per-axis wrapped angular difference b - a in (-pi, pi] — the working
+    version of the reference's empty euler_difference (eigen.hpp:35-37)."""
+    d = jnp.asarray(b) - jnp.asarray(a)
+    return d - 2.0 * jnp.pi * jnp.round(d / (2.0 * jnp.pi))

@@ -56,6 +56,11 @@ class EpisodeConfiguration:
     forecast_time_step: float = 0.01
     forecast_horizon: float = 0.3
     wrench_enabled: bool = True  # False = "unassisted-of-wrench" base run
+    # False = the "unassisted" rows of the reference experiment tables
+    # (analysis.py:439-460): the controller is off (zero commands, so the
+    # PD base/gripper hold and the arm gets gravity compensation only) and
+    # the human model must move the robot alone.
+    assisted: bool = True
 
 
 class Episode:
@@ -153,26 +158,31 @@ class Episode:
             # base.hpp:150, actor.cpp:154-163).
             strategy_state = strategy.update(strategy_state, wrench, t)
 
-            # Controller update at the rate division (actor.cpp:172-192).
-            def do_update(operand):
-                planner_state, x, strategy_state = operand
-                _, ctx = forecaster.forecast(
-                    x, t, lambda tq: strategy.forecast(strategy_state, tq)
+            if self.episode.assisted:
+                # Controller update at the rate division (actor.cpp:172-192).
+                def do_update(operand):
+                    planner_state, x, strategy_state = operand
+                    _, ctx = forecaster.forecast(
+                        x, t, lambda tq: strategy.forecast(strategy_state, tq)
+                    )
+                    new_state, _ = planner._update_impl(planner_state, x, t, ctx)
+                    return new_state
+
+                def skip_update(operand):
+                    planner_state, _, _ = operand
+                    return planner_state
+
+                fire = countdown <= 0
+                planner_state = jax.lax.cond(
+                    fire, do_update, skip_update, (planner_state, x, strategy_state)
                 )
-                new_state, _ = planner._update_impl(planner_state, x, t, ctx)
-                return new_state
+                countdown = jnp.where(fire, self.countdown_max - 1, countdown - 1)
 
-            def skip_update(operand):
-                planner_state, _, _ = operand
-                return planner_state
-
-            fire = countdown <= 0
-            planner_state = jax.lax.cond(
-                fire, do_update, skip_update, (planner_state, x, strategy_state)
-            )
-            countdown = jnp.where(fire, self.countdown_max - 1, countdown - 1)
-
-            u = planner._get_impl(planner_state, t)
+                u = planner._get_impl(planner_state, t)
+            else:
+                # Unassisted: zero commands — PD holds the base/gripper, the
+                # arm is gravity-compensated, the human drags the robot.
+                u = jnp.zeros(planner.plant.control_dof, dtype=self.dtype)
             x_next = fr.integrate_with_wrench(model, kp, kd, x, u, aux, wrench, dt)
 
             outputs = EpisodeOutputs(

@@ -78,3 +78,14 @@ def test_from_two_vectors(rng):
     rotated = rot.quat_rotate(q, a / jnp.linalg.norm(a, axis=-1, keepdims=True))
     expected = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(rotated), np.asarray(expected), atol=1e-5)
+
+
+def test_euler_difference_wraps():
+    a = jnp.asarray([0.1, 3.0, -3.0, 0.0])
+    b = jnp.asarray([-0.1, -3.0, 3.0, 2 * np.pi])
+    d = np.asarray(rot.euler_difference(a, b))
+    np.testing.assert_allclose(
+        d, [-0.2, 2 * np.pi - 6.0, 6.0 - 2 * np.pi, 0.0], atol=1e-12
+    )
+    # Always the geodesic: |d| <= pi.
+    assert (np.abs(d) <= np.pi + 1e-12).all()

@@ -208,3 +208,39 @@ def test_jitted_episode_runs_and_assists():
     assert np.isfinite(np.asarray(outputs.ee_position)).all()
     assert metrics["mean_force"] < 100.0
     assert metrics["final_energy"] <= 1000.0
+
+
+def test_quaternion_pid_direction_and_fixpoint():
+    """QuaternionPID (the working version of the reference's empty
+    pid.cpp:122-125): torque points along the rotation-vector error and
+    vanishes when observation == reference."""
+    from assistedmanipulation_tpu.ops import rotations as rot
+
+    config = pid_module.Configuration(
+        n=3,
+        kp=np.full(3, 2.0),
+        kd=np.zeros(3),
+        ki=np.zeros(3),
+        minimum=np.full(3, -100.0),
+        maximum=np.full(3, 100.0),
+        reference=np.zeros(3),
+    )
+    pid = pid_module.QuaternionPID(config)
+    reference = jnp.asarray([1.0, 0.0, 0.0, 0.0])  # identity (w, x, y, z)
+    angle = 0.3
+    observation = rot.quat_from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), angle)
+
+    state = pid.init(dtype=jnp.float64)
+    # First update only bootstraps the derivative (pid.cpp:61-66).
+    state = pid.update_quaternion(state, observation, reference, 0.1)
+    state = pid.update_quaternion(state, observation, reference, 0.2)
+    control = np.asarray(state.control)
+    # Rotation-vector error ~= -angle about z (small-angle 2*vec), control =
+    # kp * error rotating the observation back toward the reference.
+    np.testing.assert_allclose(control[:2], 0.0, atol=1e-9)
+    np.testing.assert_allclose(control[2], -2.0 * angle, rtol=0.05)
+
+    state2 = pid.init(dtype=jnp.float64)
+    state2 = pid.update_quaternion(state2, reference, reference, 0.1)
+    state2 = pid.update_quaternion(state2, reference, reference, 0.2)
+    np.testing.assert_allclose(np.asarray(state2.control), 0.0, atol=1e-12)
