@@ -25,6 +25,8 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops.precision import f32_matmuls
+
 
 @dataclasses.dataclass(frozen=True)
 class KalmanSpec:
@@ -61,6 +63,7 @@ def kalman_init(spec: KalmanSpec, initial_state, initial_covariance) -> KalmanSt
     )
 
 
+@f32_matmuls
 def kalman_update(spec: KalmanSpec, ks: KalmanState, observation) -> KalmanState:
     """Measurement update + one-step prediction (kalman.cpp:103-138)."""
     dtype = ks.state.dtype
@@ -82,6 +85,7 @@ def kalman_update(spec: KalmanSpec, ks: KalmanState, observation) -> KalmanState
     return KalmanState(state=state, next_state=next_state, covariance=P)
 
 
+@f32_matmuls
 def kalman_predict(
     spec: KalmanSpec, ks: KalmanState, update_covariance: bool = True
 ) -> KalmanState:

@@ -29,6 +29,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .. import config as cfg
+from ..forecast import forecast as fc
 from ..logging.csv_logger import (
     CSVWriter,
     DynamicsLogger,
@@ -50,6 +51,12 @@ class BaseConfiguration:
 
     duration: float = 15.0
     time_step: float = 0.005
+    # "host": per-tick loop, reference-faithful interleaving + live logging.
+    # "episode": the whole experiment as ONE jitted lax.scan (sim/episode.py)
+    # with the observability stream collected on device and the CSV tree
+    # written post-hoc — the mode to use on TPU, where per-tick dispatch
+    # latency makes the host loop orders of magnitude slower.
+    engine: str = "host"
     actor: ActorConfiguration = dataclasses.field(default_factory=ActorConfiguration)
 
 
@@ -141,6 +148,8 @@ class BaseTest:
         self.time += self.configuration.time_step
 
     def run(self) -> bool:
+        if self.configuration.engine == "episode":
+            return self._run_episode()
         ticks = int(self.configuration.duration / self.configuration.time_step)
         progress_every = max(1, ticks // 20)
         for i in range(ticks):
@@ -149,6 +158,119 @@ class BaseTest:
                 print(".", end="", flush=True)
         print()
         return bool(np.isfinite(np.asarray(self.actor.x)).all())
+
+    # --- episode engine: one device program + post-hoc CSV writing ---------
+
+    def _episode_human(self):
+        """(trajectory, pid_configuration, wrench_enabled) for the human
+        model; base has none (base.hpp:15)."""
+        return (
+            trajectories.PointTrajectory(trajectories.PointConfiguration()),
+            None,
+            False,
+        )
+
+    def _run_episode(self) -> bool:
+        import time as walltime
+
+        import jax
+        from ..sim.episode import Episode, EpisodeConfiguration
+
+        acfg = self.configuration.actor
+        trajectory, pid_configuration, wrench_enabled = self._episode_human()
+        forecast_enabled = acfg.forecast is not None and acfg.forecast.enabled
+        if forecast_enabled:
+            strategy = fc.create(acfg.forecast.end_effector_wrench_forecast)
+            forecast_cfg = acfg.forecast.configuration
+            forecast_dt = forecast_cfg.time_step
+            forecast_horizon = forecast_cfg.horizon
+        else:
+            strategy = None  # Episode's default Kalman; zero wrench in, zero out
+            forecast_dt, forecast_horizon = acfg.mppi.time_step, acfg.mppi.horizon
+
+        episode = Episode(
+            acfg.mppi,
+            self.actor.objective,
+            trajectory,
+            EpisodeConfiguration(
+                duration=self.configuration.duration,
+                time_step=self.configuration.time_step,
+                controller_rate=acfg.controller_rate,
+                forecast_time_step=forecast_dt,
+                forecast_horizon=forecast_horizon,
+                wrench_enabled=wrench_enabled,
+            ),
+            wrench_strategy=strategy,
+            robot_configuration=acfg.dynamics,
+            pid_configuration=pid_configuration,
+            collect_logs=True,
+        )
+        start = walltime.perf_counter()
+        outputs, logs = episode.run(seed=0)
+        jax.block_until_ready(outputs.ee_position)
+        wall = walltime.perf_counter() - start
+        print(f"episode: {episode.ticks} ticks in {wall:.1f}s (one dispatch)")
+        self._write_episode_logs(episode, outputs, logs, wall)
+        return bool(np.isfinite(np.asarray(logs.x)).all())
+
+    def _write_episode_logs(self, episode, outputs, logs, wall):
+        import jax
+
+        from ..models import frankaridgeback as fr
+        from ..objectives.assisted_manipulation import ForecastContext
+
+        dt = self.configuration.time_step
+        ticks = episode.ticks
+        times = np.arange(ticks) * dt
+
+        x_np = np.asarray(logs.x, dtype=np.float64)
+        control_np = np.asarray(outputs.control, dtype=np.float64)
+        aux = jax.vmap(lambda s: fr.derive_aux(episode.model, s))(logs.x)
+        aux_np = jax.device_get(aux)
+        for i in range(ticks):
+            row = jax.tree.map(lambda a: a[i], aux_np)
+            self.dynamics_logger.log(float(times[i]), x_np[i], row, control_np[i])
+
+        fired = np.asarray(logs.update_fired)
+        update_ticks = np.flatnonzero(fired)
+        mean_duration = wall / max(len(update_ticks), 1)
+        info_np = jax.device_get(logs.update_info)
+        optimal_np = np.asarray(logs.optimal_control, dtype=np.float64)
+        forecast_np = jax.device_get(logs.forecast)
+        terms_fn = jax.jit(self.actor.objective.terms)
+        mppi_dt = self.actor.configuration.mppi.time_step
+        for count, i in enumerate(update_ticks, start=1):
+            t = float(times[i])
+            info_row = jax.tree.map(lambda a: a[i], info_np)
+            self.mppi_logger.log(
+                count, t, info_row, optimal_np[i], mean_duration, mppi_dt
+            )
+            roll_row = jax.tree.map(lambda a: a[i], forecast_np)
+            if self.forecast_logger is not None:
+                self.forecast_logger.log(
+                    t, episode.dynamics_forecast.configuration.time_step, roll_row
+                )
+            wrench_nodes = np.concatenate(
+                [roll_row.wrench, roll_row.wrench[-1:]], axis=0
+            )
+            ctx = ForecastContext(
+                wrench_horizon=jnp.asarray(wrench_nodes),
+                start_time=jnp.asarray(t, dtype=jnp.float32),
+                time_step=episode.dynamics_forecast.configuration.time_step,
+                horizon=episode.dynamics_forecast.configuration.horizon,
+            )
+            terms = terms_fn(
+                jnp.asarray(logs.x[i]),
+                jnp.asarray(outputs.control[i]),
+                jax.tree.map(lambda a: jnp.asarray(a[i]), aux_np),
+                jnp.asarray(t, dtype=jnp.float32),
+                ctx,
+            )
+            self.objective_logger.log(t, terms)
+        self._log_episode_extras(times, logs)
+
+    def _log_episode_extras(self, times, logs):
+        """Subclass hook (the external-wrench family logs the PID here)."""
 
     def close(self):
         self.mppi_logger.close()
@@ -213,6 +335,17 @@ class ExternalWrenchTest(BaseTest):
             ]
         )
         self.actor.add_end_effector_wrench(wrench, time)
+
+    def _episode_human(self):
+        return self.position, self.configuration.force_pid, True
+
+    def _log_episode_extras(self, times, logs):
+        import jax
+
+        pid_np = jax.device_get(logs.pid)
+        for i in range(len(times)):
+            row = jax.tree.map(lambda a: a[i], pid_np)
+            self.pid_logger.log(float(times[i]), row)
 
     def close(self):
         super().close()

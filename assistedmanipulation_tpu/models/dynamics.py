@@ -28,7 +28,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from .kinematics import FK, com_positions
+from .kinematics import FK, com_positions, f32_matmuls
 from .model_data import PRISMATIC, RobotModel
 
 
@@ -58,6 +58,7 @@ def motion_subspaces(model: RobotModel, fk: FK) -> jnp.ndarray:
     return jnp.concatenate([angular, linear], axis=-1)
 
 
+@f32_matmuls
 def spatial_inertias(model: RobotModel, fk: FK) -> jnp.ndarray:
     """Per-body 6x6 spatial inertia about the world origin (..., J, 6, 6)."""
     dtype = fk.origin.dtype
@@ -79,6 +80,7 @@ def spatial_inertias(model: RobotModel, fk: FK) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+@f32_matmuls
 def mass_matrix(model: RobotModel, fk: FK) -> jnp.ndarray:
     """Joint-space mass matrix M(q) (..., J, J) via common-origin CRBA."""
     S = motion_subspaces(model, fk)  # (..., J, 6)
@@ -101,6 +103,7 @@ def _crm(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+@f32_matmuls
 def rnea(
     model: RobotModel,
     fk: FK,
@@ -158,18 +161,21 @@ def rnea(
     return jnp.einsum("...ia,...ia->...i", S, subtree_force)
 
 
+@f32_matmuls
 def nonlinear_effects(model: RobotModel, fk: FK, qd: jnp.ndarray, gravity):
     """h(q, qd) = C qd + g — raisim getNonlinearities
     (raisim_dynamics.cpp:220)."""
     return rnea(model, fk, qd, jnp.zeros_like(qd), gravity)
 
 
+@f32_matmuls
 def kinetic_energy(model: RobotModel, fk: FK, qd: jnp.ndarray) -> jnp.ndarray:
     """1/2 qd^T M qd (validation helper)."""
     M = mass_matrix(model, fk)
     return 0.5 * jnp.einsum("...i,...ij,...j->...", qd, M, qd)
 
 
+@f32_matmuls
 def forward_dynamics(
     M: jnp.ndarray,
     tau: jnp.ndarray,

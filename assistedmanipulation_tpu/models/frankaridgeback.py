@@ -40,6 +40,7 @@ from ..ops.energy import energy_tank_step
 from ..ops.rotations import matrix_to_quat
 from . import dynamics as dyn
 from . import kinematics as kin
+from .kinematics import f32_matmuls
 from .model_data import RobotModel, frankaridgeback_model
 
 
@@ -175,6 +176,7 @@ class RobotAux(NamedTuple):
     arm_mount_position: jnp.ndarray  # (3,)
 
 
+@f32_matmuls
 def derive_aux(model: RobotModel, x: jnp.ndarray) -> RobotAux:
     q = x[POSITION]
     v = x[VELOCITY]
@@ -227,6 +229,7 @@ def _pd_and_feedforward(x, u, kp, kd):
     return tau_pd + tau_ff
 
 
+@f32_matmuls
 def wrench_generalized_force(model, aux: RobotAux, wrench: jnp.ndarray):
     """Generalized force of a world-frame wrench applied at the hand offset
     point (raisim_dynamics.cpp:131-148)."""
@@ -238,6 +241,7 @@ def wrench_generalized_force(model, aux: RobotAux, wrench: jnp.ndarray):
     return J_point.T @ wrench[:3] + J_ang.T @ wrench[3:]
 
 
+@f32_matmuls
 def integrate_with_wrench(model, kp, kd, x, u, aux: RobotAux, wrench, dt):
     """Full plant step with an applied external wrench
     (RaisimDynamics::step = act + integrate + update,

@@ -20,8 +20,10 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from ..ops.precision import f32_matmuls
 from .model_data import PRISMATIC, REVOLUTE, RobotModel
 
 
@@ -48,6 +50,7 @@ def _axis_rotation(axis: np.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     return eye + s * K + (1.0 - c) * K2
 
 
+@f32_matmuls
 def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> FK:
     """World transforms of all moving link frames for joint positions q
     (..., J). The joint loop unrolls at trace time (static topology)."""
@@ -127,11 +130,13 @@ def _attached_transform(fk: FK, parent: int, R_fix: np.ndarray, p_fix: np.ndarra
     return R_parent @ R_fix, (R_parent @ p_fix[..., None])[..., 0] + p_parent
 
 
+@f32_matmuls
 def link_positions(model: RobotModel, fk: FK, links) -> jnp.ndarray:
     """World positions of a list of named links, stacked (..., L, 3)."""
     return jnp.stack([link_transform(model, fk, l)[1] for l in links], axis=-2)
 
 
+@f32_matmuls
 def point_jacobian(
     model: RobotModel, fk: FK, point: jnp.ndarray, body: int
 ) -> jnp.ndarray:
@@ -153,6 +158,7 @@ def point_jacobian(
     return jnp.swapaxes(columns, -1, -2)  # (..., 3, J)
 
 
+@f32_matmuls
 def angular_jacobian(model: RobotModel, fk: FK, body: int) -> jnp.ndarray:
     """Angular Jacobian (..., 3, J) of moving link ``body``."""
     dtype = fk.origin.dtype
@@ -162,6 +168,7 @@ def angular_jacobian(model: RobotModel, fk: FK, body: int) -> jnp.ndarray:
     return jnp.swapaxes(columns, -1, -2)
 
 
+@f32_matmuls
 def com_positions(model: RobotModel, fk: FK) -> jnp.ndarray:
     """World COM position of every composite link (..., J, 3)."""
     dtype = fk.origin.dtype

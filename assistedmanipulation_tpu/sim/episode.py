@@ -48,6 +48,20 @@ class EpisodeOutputs(NamedTuple):
     optimal_cost: jax.Array  # (ticks,)
 
 
+class EpisodeLogs(NamedTuple):
+    """Full observability stream for the harness CSV tree
+    (``collect_logs=True``): everything the host-loop loggers consume,
+    collected inside the scan and written post-hoc in one pass. Per-update
+    structures are zero-filled on ticks where the controller did not fire."""
+
+    x: jax.Array  # (ticks, state_dof) plant state
+    pid: object  # stacked sim.pid.PIDState
+    update_fired: jax.Array  # (ticks,) bool
+    update_info: object  # stacked mppi.UpdateInfo (zeros when not fired)
+    optimal_control: jax.Array  # (ticks, steps, dof) (zeros when not fired)
+    forecast: object  # stacked ForecastRollout (zeros when not fired)
+
+
 @dataclasses.dataclass
 class EpisodeConfiguration:
     duration: float = 15.0
@@ -76,8 +90,12 @@ class Episode:
         robot_configuration: fr.Configuration = None,
         pid_configuration: pid_module.Configuration = None,
         dtype=jnp.float32,
+        collect_logs: bool = False,
     ):
         self.episode = episode or EpisodeConfiguration()
+        if collect_logs and not self.episode.assisted:
+            raise ValueError("collect_logs requires an assisted episode")
+        self.collect_logs = collect_logs
         self.dtype = dtype
         self.model = frankaridgeback_model()
         self.robot_configuration = robot_configuration or fr.Configuration()
@@ -158,22 +176,28 @@ class Episode:
             # base.hpp:150, actor.cpp:154-163).
             strategy_state = strategy.update(strategy_state, wrench, t)
 
+            fire = jnp.asarray(False)
+            update_extras = None
             if self.episode.assisted:
                 # Controller update at the rate division (actor.cpp:172-192).
                 def do_update(operand):
                     planner_state, x, strategy_state = operand
-                    _, ctx = forecaster.forecast(
+                    rollout, ctx = forecaster.forecast(
                         x, t, lambda tq: strategy.forecast(strategy_state, tq)
                     )
-                    new_state, _ = planner._update_impl(planner_state, x, t, ctx)
-                    return new_state
+                    new_state, info = planner._update_impl(planner_state, x, t, ctx)
+                    return new_state, (info, new_state.optimal_control, rollout)
 
                 def skip_update(operand):
                     planner_state, _, _ = operand
-                    return planner_state
+                    shapes = jax.eval_shape(do_update, operand)
+                    zeros = jax.tree.map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), shapes[1]
+                    )
+                    return planner_state, zeros
 
                 fire = countdown <= 0
-                planner_state = jax.lax.cond(
+                planner_state, update_extras = jax.lax.cond(
                     fire, do_update, skip_update, (planner_state, x, strategy_state)
                 )
                 countdown = jnp.where(fire, self.countdown_max - 1, countdown - 1)
@@ -193,6 +217,17 @@ class Episode:
                 tank_energy=x[fr.ENERGY],
                 optimal_cost=planner_state.optimal_cost,
             )
+            if self.collect_logs:
+                info, optimal_control, forecast_rollout = update_extras
+                logs = EpisodeLogs(
+                    x=x,
+                    pid=pid_state,
+                    update_fired=fire,
+                    update_info=info,
+                    optimal_control=optimal_control,
+                    forecast=forecast_rollout,
+                )
+                outputs = (outputs, logs)
             return (x_next, planner_state, strategy_state, pid_state, countdown), outputs
 
         _, outputs = jax.lax.scan(

@@ -1,0 +1,61 @@
+"""Episode-engine harness: the whole scenario as one jitted scan with the
+CSV tree written post-hoc (harness/cases.py engine="episode")."""
+
+import os
+
+import numpy as np
+
+from assistedmanipulation_tpu.harness.runner import TestSuite
+
+
+def _patch(duration):
+    return {
+        "duration": duration,
+        "engine": "episode",
+        "actor": {
+            "mppi": {"rollouts": 12, "keep_best_rollouts": 4, "horizon": 0.1},
+            "controller_rate": 0.05,
+        },
+    }
+
+
+def test_episode_engine_writes_csv_tree(tmp_path):
+    ok = TestSuite.run("circle", str(tmp_path), patch=_patch(0.3))
+    assert ok
+    (run_folder,) = [entry.path for entry in os.scandir(tmp_path)]
+
+    ticks = int(0.3 / 0.005)
+    updates = ticks // 10  # controller_rate 0.05 / dt 0.005
+
+    def rows(*parts):
+        path = os.path.join(run_folder, *parts)
+        with open(path) as handle:
+            return sum(1 for _ in handle) - 1  # minus header
+
+    # Per-tick streams.
+    assert rows("dynamics", "joints.csv") == ticks
+    assert rows("dynamics", "control.csv") == ticks
+    assert rows("pid", "force", "control.csv") == ticks
+    # Per-update streams.
+    assert rows("mppi", "costs.csv") == updates
+    assert rows("mppi", "weights.csv") == updates
+    assert rows("objective", "costs.csv") == updates
+    assert rows("forecast", "wrench.csv") > 0
+
+    # The logged states are finite.
+    data = np.genfromtxt(
+        os.path.join(run_folder, "dynamics", "joints.csv"),
+        delimiter=",",
+        skip_header=1,
+    )
+    assert np.isfinite(data).all()
+
+
+def test_episode_engine_base_no_wrench(tmp_path):
+    """base (no human model) runs under the episode engine; the wrench
+    stays zero so no pid/ folder is produced."""
+    ok = TestSuite.run("base", str(tmp_path), patch=_patch(0.2))
+    assert ok
+    (run_folder,) = [entry.path for entry in os.scandir(tmp_path)]
+    assert os.path.exists(os.path.join(run_folder, "dynamics", "joints.csv"))
+    assert not os.path.exists(os.path.join(run_folder, "pid"))

@@ -221,3 +221,50 @@ def test_get_interpolates_and_falls_back():
     # Past the horizon end: the configured default control (zeros).
     beyond = planner.get(state, 100.0)
     np.testing.assert_allclose(np.asarray(beyond), 0.0)
+
+
+def test_base_obstacle_avoidance():
+    """BASELINE config 2: Ridgeback-style 3-DoF base with obstacle log
+    barriers — closed-loop MPPI reaches the target without entering the
+    obstacle disc."""
+    from assistedmanipulation_tpu.models.point_mass import (
+        ObstacleField2DConfig,
+        make_base_2d_plant,
+    )
+
+    plant_config = ObstacleField2DConfig(
+        target=(2.0, 2.0, 0.0), obstacles=((1.0, 1.0, 0.3),)
+    )
+    config = mppi.Configuration(
+        rollouts=60,
+        keep_best_rollouts=20,
+        time_step=0.05,
+        horizon=0.75,
+        gradient_step=1.0,
+        cost_scale=10.0,
+        cost_discount_factor=1.0,
+        covariance=np.full(3, 0.4),
+        control_bound=True,
+        control_min=np.array([-1.0, -1.0, -0.5]),
+        control_max=np.array([1.0, 1.0, 0.5]),
+        control_default=np.zeros(3),
+        smoothing=None,
+    )
+    planner = mppi.Planner(config, make_base_2d_plant(plant_config))
+    state = planner.init(seed=3)
+    x = jnp.zeros(6)
+    dt = config.time_step
+    time = 0.0
+    min_gap = np.inf
+    for _ in range(160):
+        state, _ = planner.update(state, x, time)
+        u = planner.get(state, time)
+        x = planner.plant.integrate(x, u, None, time, dt)
+        time += dt
+        gap = float(
+            np.linalg.norm(np.asarray(x[:2]) - np.array([1.0, 1.0])) - 0.3
+        )
+        min_gap = min(min_gap, gap)
+    final = np.asarray(x)
+    assert np.linalg.norm(final[:2] - np.array([2.0, 2.0])) < 0.15
+    assert min_gap > 0.0  # never entered the obstacle
