@@ -356,6 +356,108 @@ def make_lane_rollout(
     return rollout_costs
 
 
+def make_lane_filter_rollout(
+    model: RobotModel,
+    objective_cfg: ObjectiveConfiguration,
+    robot_cfg: fr.Configuration,
+    steps: int,
+    dt: float,
+    discount: float = 1.0,
+):
+    """Single-trajectory optimal re-rollout on the lanes scalar graph
+    (mppi::Trajectory::filter semantics, mppi.cpp:450-479, without a
+    per-step control filter — the Planner falls back to the vmap plant path
+    when a safety filter is attached).
+
+    The vmap re-rollout is the Amdahl tail of the solve: one sequential
+    50-step trajectory whose per-step CRBA/Cholesky lowers to LAPACK-style
+    custom calls — measured at ~60% of the whole 10k-rollout update on v5e.
+    The lanes step is one fused scalar graph on the VPU (no custom calls),
+    identical in cost semantics to the batched rollout (same
+    step_cost_and_dynamics), run at T=1.
+
+    MEASURED OUTCOME on v5e: at T=1 the scalar graph's per-op overhead does
+    not amortize — the whole-solve bench dropped 206 -> 154 solves/s wired
+    in place of the vmap path, so the planner factories do NOT wire it.
+    The production answer to the Amdahl tail is
+    ``mppi.Configuration.optimal_rollout_mode = "batch"`` (read the
+    zero-noise rollout's cost, skip the re-rollout, 206 -> ~570 solves/s);
+    this function remains for platforms where scalar graphs win and as the
+    parity-tested reference of the re-rollout semantics.
+
+    Returns fn(optimal (S, 12), x0 (31,), time, ctx) ->
+    (cost (2,) channels, states (S, 31)). States match the vmap path: the
+    pre-step state per step; wrench/energy slots carry x0's values (the
+    rollout plant applies no wrench, so the tank is constant —
+    raisim_dynamics.cpp:236-238 skip + zero external power)."""
+    _, kp, kd = robot_cfg.resolve()
+
+    def fn(optimal, x0, time, ctx):
+        dtype = optimal.dtype
+        if ctx is None:
+            zeros = jnp.zeros((steps,), dtype=dtype)
+            traj = TrajectoryStepData(
+                target=jnp.zeros((steps, 3), dtype=dtype),
+                inv_norm2=zeros,
+                position_cost=zeros,
+                velocity_target=zeros,
+                active=jnp.zeros((steps,), dtype=bool),
+            )
+        else:
+            traj = trajectory_step_data(objective_cfg, ctx, time, steps, dt)
+
+        like = jnp.zeros((1,), dtype=dtype)
+        energy = jnp.full((1,), x0[fr.ENERGY], dtype=dtype)
+        q0 = x0[fr.POSITION].astype(dtype)[:, None]  # (12, 1)
+        v0 = x0[fr.VELOCITY].astype(dtype)[:, None]
+
+        def body(carry, inputs):
+            q, v, violations, smooth = carry
+            opt_s, target_s, inv2_s, pcost_s, vtarget_s, disc_s = inputs
+            u = [jnp.broadcast_to(opt_s[d], (1,)) for d in range(12)]
+            q_list = [q[d] for d in range(12)]
+            v_list = [v[d] for d in range(12)]
+            step_viol, step_smooth, q_next, v_next = step_cost_and_dynamics(
+                model,
+                objective_cfg,
+                kp,
+                kd,
+                q_list,
+                v_list,
+                u,
+                energy,
+                [target_s[0], target_s[1], target_s[2]],
+                inv2_s,
+                pcost_s,
+                vtarget_s,
+                dt,
+            )
+            violations = violations + disc_s * step_viol
+            smooth = smooth + disc_s * step_smooth
+            return (
+                jnp.stack(q_next),
+                jnp.stack(v_next),
+                violations,
+                smooth,
+            ), (q[:, 0], v[:, 0])
+
+        discounts = discount ** jnp.arange(steps, dtype=dtype)
+        (_, _, violations, smooth), (qs, vs) = jax.lax.scan(
+            body,
+            (q0, v0, jnp.zeros_like(like), jnp.zeros_like(like)),
+            (optimal, traj.target, traj.inv_norm2, traj.position_cost,
+             traj.velocity_target, discounts),
+        )
+        tail = jnp.broadcast_to(
+            x0[24:].astype(dtype), (steps, x0.shape[0] - 24)
+        )
+        states = jnp.concatenate([qs, vs, tail], axis=-1)  # (S, 31)
+        cost = jnp.stack([violations[0], smooth[0]])  # (2,)
+        return cost, states
+
+    return fn
+
+
 def make_lanes_rollout_fn(
     model: RobotModel,
     objective_cfg: ObjectiveConfiguration,

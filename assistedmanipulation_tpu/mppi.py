@@ -100,6 +100,18 @@ class Configuration:
     # 36-thread block partitioning (mppi.cpp:277) has no TPU analog; the
     # rollout axis shards over the mesh axis named here instead.
     rollout_axis: str = "rollouts"
+    # How the published optimal trajectory's cost/states are obtained:
+    # - "resimulate": re-rollout the post-update optimal sequence
+    #   (mppi::Trajectory::filter, mppi.cpp:450-479 — reference parity).
+    #   One serial 50-step trajectory: the Amdahl tail of the solve,
+    #   measured at ~60% of a 10k-rollout update on TPU v5e.
+    # - "batch": read the zero-noise static rollout's cost from the batch
+    #   (rollout 0 IS the shifted optimal evaluated at the current state),
+    #   skipping the re-rollout entirely. The logged optimal cost lags one
+    #   update and per-step optimal states are not produced; ignored when a
+    #   safety filter is attached (the filter needs the re-rollout to write
+    #   filtered controls back).
+    optimal_rollout_mode: str = "resimulate"
 
     @property
     def step_count(self) -> int:
@@ -189,11 +201,17 @@ class Planner:
         plant: Plant,
         rollout_fn=None,
         filter_fn=None,
+        filter_rollout_fn=None,
     ):
         """``rollout_fn(noise, optimal_shifted, x0, time, ctx) -> (R, 2)``
         optionally replaces the generic vmap rollout with a fused batch
         evaluator (e.g. the batch-minor lanes path or a Pallas kernel,
         kernels/lane_rollout.py) — semantics must match _rollout_batch.
+
+        ``filter_rollout_fn(optimal, x0, time, ctx) -> ((2,) cost channels,
+        (steps, state_dof) states)`` optionally replaces the vmap optimal
+        re-rollout (the serial Amdahl tail of the solve) with a fused
+        evaluator; only used when no ``filter_fn`` is attached.
 
         ``filter_fn(x, u, t) -> u_safe`` is the per-step trajectory filter
         (mppi::Filter, mppi.hpp:150-176) applied during the optimal
@@ -227,6 +245,7 @@ class Planner:
         self.plant = plant
         self.rollout_fn = rollout_fn
         self.filter_fn = filter_fn
+        self.filter_rollout_fn = filter_rollout_fn
         self.dtype = jnp.dtype(cfg.dtype)
         self.steps = cfg.step_count
         self.rollout_count = cfg.rollout_count
@@ -452,6 +471,9 @@ class Planner:
         back into the published sequence (mppi::Trajectory::filter,
         mppi.cpp:450-479; the Eigen column reference at :462 makes the
         reference's filter mutate m_optimal_control_shifted in place)."""
+        if self.filter_rollout_fn is not None and self.filter_fn is None:
+            cost, states = self.filter_rollout_fn(optimal, x0, time, ctx)
+            return compose_cost(cost), states, optimal
         dt = self.configuration.time_step
         plant = self.plant
         discount = self._discount
@@ -486,9 +508,21 @@ class Planner:
         optimal, weights, gradient, sg_buffer, degenerate = self._optimise(
             costs, noise, optimal_shifted, state.sg_buffer, shift_by
         )
-        optimal_cost, optimal_states, optimal = self._filter_rollout(
-            optimal, x0, time, ctx
-        )
+        if (
+            self.configuration.optimal_rollout_mode == "batch"
+            and self.filter_fn is None
+        ):
+            # Zero-noise rollout 0 = the shifted optimal at the current
+            # state; its cost is the optimal-trajectory cost one update
+            # early (see Configuration.optimal_rollout_mode).
+            optimal_cost = compose_cost(costs[0])
+            optimal_states = jnp.zeros(
+                (self.steps, self.plant.state_dof), dtype=self.dtype
+            )
+        else:
+            optimal_cost, optimal_states, optimal = self._filter_rollout(
+                optimal, x0, time, ctx
+            )
 
         new_state = PlannerState(
             optimal_control=optimal,

@@ -46,6 +46,11 @@ def build_franka_planner(rollouts: int, steps: int, backend: str = "lanes"):
         control_default=np.zeros(12),
         smoothing=mppi.Smoothing(window=10, order=1),
         dtype="float32",
+        # Production serving mode: optimal-cost observability reads the
+        # zero-noise batch rollout instead of a serial re-simulation (the
+        # Amdahl tail — see mppi.Configuration.optimal_rollout_mode).
+        # BENCH_OPTIMAL_ROLLOUT=resimulate restores reference-parity mode.
+        optimal_rollout_mode=os.environ.get("BENCH_OPTIMAL_ROLLOUT", "batch"),
     )
     if backend == "lanes":
         from assistedmanipulation_tpu.kernels.lane_rollout import (

@@ -177,3 +177,68 @@ def test_lane_mass_matrix_and_solve(rng):
     x_np = np.array([np.asarray(xi)[0] for xi in x])
     expected = np.linalg.solve(M_lane + 5.0 * np.eye(12), rhs_np)
     np.testing.assert_allclose(x_np, expected, rtol=1e-9, atol=1e-11)
+
+
+def test_lane_filter_rollout_matches_vmap(rng):
+    """make_lane_filter_rollout (the fast optimal re-rollout) must produce
+    the same cost channels and states as Planner._filter_rollout."""
+    import jax.numpy as jnp
+    from assistedmanipulation_tpu import mppi
+    from assistedmanipulation_tpu.kernels.lane_rollout import (
+        make_lane_filter_rollout,
+    )
+    from assistedmanipulation_tpu.models import frankaridgeback as fr
+    from assistedmanipulation_tpu.models.model_data import frankaridgeback_model
+    from assistedmanipulation_tpu.objectives.assisted_manipulation import (
+        AssistedManipulation,
+        Configuration as ObjectiveConfiguration,
+        ForecastContext,
+    )
+
+    steps, dt = 6, 0.01
+    config = mppi.Configuration(
+        rollouts=4,
+        keep_best_rollouts=2,
+        time_step=dt,
+        horizon=steps * dt,
+        covariance=fr.DEFAULT_COVARIANCE,
+        control_min=fr.DEFAULT_CONTROL_MIN,
+        control_max=fr.DEFAULT_CONTROL_MAX,
+        control_default=np.zeros(12),
+        smoothing=None,
+        dtype="float32",
+    )
+    objective_cfg = ObjectiveConfiguration()
+    model = frankaridgeback_model()
+    plant = fr.make_plant(AssistedManipulation(objective_cfg), fr.Configuration(), model)
+    planner = mppi.Planner(config, plant)
+
+    optimal = jnp.asarray(
+        rng.normal(scale=0.2, size=(steps, 12)), dtype=jnp.float32
+    )
+    x0 = jnp.asarray(fr.make_state("huddled"), dtype=jnp.float32)
+    time = jnp.asarray(0.2, dtype=jnp.float32)
+    wrench = jnp.asarray(
+        rng.normal(scale=10.0, size=(steps + 1, 6)), dtype=jnp.float32
+    )
+    ctx = ForecastContext(
+        wrench_horizon=wrench,
+        start_time=time,
+        time_step=dt,
+        horizon=steps * dt,
+    )
+
+    want_cost, want_states, _ = planner._filter_rollout(optimal, x0, time, ctx)
+
+    fast = make_lane_filter_rollout(
+        model, objective_cfg, fr.Configuration(), steps, dt
+    )
+    got_channels, got_states = fast(optimal, x0, time, ctx)
+    from assistedmanipulation_tpu.mppi import compose_cost
+
+    np.testing.assert_allclose(
+        float(compose_cost(got_channels)), float(want_cost), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_states), np.asarray(want_states), rtol=2e-4, atol=2e-5
+    )

@@ -268,3 +268,39 @@ def test_base_obstacle_avoidance():
     final = np.asarray(x)
     assert np.linalg.norm(final[:2] - np.array([2.0, 2.0])) < 0.15
     assert min_gap > 0.0  # never entered the obstacle
+
+
+def test_optimal_rollout_batch_mode():
+    """optimal_rollout_mode="batch" publishes bit-identical control
+    sequences (the re-rollout never alters them without a filter) and reads
+    the optimal cost from the zero-noise static rollout."""
+    import dataclasses
+
+    planner_full = make_planner(rollouts=20)
+    cfg_batch = dataclasses.replace(
+        planner_full.configuration, optimal_rollout_mode="batch"
+    )
+    planner_batch = mppi.Planner(
+        cfg_batch, make_point_mass_plant(PointMassConfig(dimensions=2))
+    )
+
+    x = jnp.zeros(4)
+    state_f = planner_full.init(seed=7)
+    state_b = planner_batch.init(seed=7)
+    t = 0.0
+    for _ in range(5):
+        state_f, info_f = planner_full.update(state_f, x, t)
+        state_b, info_b = planner_batch.update(state_b, x, t)
+        t += planner_full.configuration.time_step
+    np.testing.assert_array_equal(
+        np.asarray(state_f.optimal_control), np.asarray(state_b.optimal_control)
+    )
+    from assistedmanipulation_tpu.mppi import compose_cost
+
+    np.testing.assert_allclose(
+        float(state_b.optimal_cost), float(compose_cost(state_b.costs[0]))
+    )
+    assert np.asarray(info_b.optimal_rollout_states).shape == (
+        planner_batch.steps,
+        4,
+    )
