@@ -219,16 +219,48 @@ class BaseTest:
         from ..models import frankaridgeback as fr
         from ..objectives.assisted_manipulation import ForecastContext
 
+        # The episode ran on the accelerator; the log post-processing is
+        # tiny host-side math (3000-state FK, 300 objective evaluations) —
+        # pin it to the CPU backend so it doesn't burn accelerator compiles.
+        logs = jax.device_get(logs)
+        outputs = jax.device_get(outputs)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            self._write_episode_logs_host(episode, outputs, logs, wall)
+
+    def _write_episode_logs_host(self, episode, outputs, logs, wall):
+        import jax
+
+        from ..models import frankaridgeback as fr
+        from ..objectives.assisted_manipulation import ForecastContext
+
         dt = self.configuration.time_step
         ticks = episode.ticks
         times = np.arange(ticks) * dt
 
         x_np = np.asarray(logs.x, dtype=np.float64)
         control_np = np.asarray(outputs.control, dtype=np.float64)
-        aux = jax.vmap(lambda s: fr.derive_aux(episode.model, s))(logs.x)
-        aux_np = jax.device_get(aux)
+        aux = jax.vmap(lambda s: fr.derive_aux(episode.model, s))(
+            jnp.asarray(logs.x)
+        )
+
+        class _Row:
+            """Lightweight aux view: just the fields DynamicsLogger reads,
+            pre-fetched as stacked host arrays (one transfer, not 3000)."""
+
+            __slots__ = ("ee_position", "ee_orientation",
+                         "ee_linear_velocity", "ee_angular_velocity")
+
+        ee_pos = np.asarray(aux.ee_position)
+        ee_quat = np.asarray(aux.ee_orientation)
+        ee_lin = np.asarray(aux.ee_linear_velocity)
+        ee_ang = np.asarray(aux.ee_angular_velocity)
         for i in range(ticks):
-            row = jax.tree.map(lambda a: a[i], aux_np)
+            row = _Row()
+            row.ee_position = ee_pos[i]
+            row.ee_orientation = ee_quat[i]
+            row.ee_linear_velocity = ee_lin[i]
+            row.ee_angular_velocity = ee_ang[i]
             self.dynamics_logger.log(float(times[i]), x_np[i], row, control_np[i])
 
         fired = np.asarray(logs.update_fired)
@@ -237,36 +269,53 @@ class BaseTest:
         info_np = jax.device_get(logs.update_info)
         optimal_np = np.asarray(logs.optimal_control, dtype=np.float64)
         forecast_np = jax.device_get(logs.forecast)
-        terms_fn = jax.jit(self.actor.objective.terms)
         mppi_dt = self.actor.configuration.mppi.time_step
+        forecast_dt = episode.dynamics_forecast.configuration.time_step
+        forecast_horizon = episode.dynamics_forecast.configuration.horizon
+
+        # Objective terms for all update ticks in ONE vmapped call
+        # (per-tick dispatch costs more than the math).
+        wrench_fired = forecast_np.wrench[update_ticks]  # (U, H, 6)
+        wrench_nodes = jnp.asarray(
+            np.concatenate([wrench_fired, wrench_fired[:, -1:]], axis=1)
+        )
+        times_fired = jnp.asarray(times[update_ticks], dtype=jnp.float32)
+        terms_batched = jax.vmap(
+            lambda x, u, a, t, w: self.actor.objective.terms(
+                x,
+                u,
+                a,
+                t,
+                ForecastContext(
+                    wrench_horizon=w,
+                    start_time=t,
+                    time_step=forecast_dt,
+                    horizon=forecast_horizon,
+                ),
+            )
+        )
+        terms_all = jax.device_get(
+            terms_batched(
+                jnp.asarray(logs.x[update_ticks]),
+                jnp.asarray(outputs.control[update_ticks]),
+                jax.tree.map(lambda a: a[update_ticks], aux),
+                times_fired,
+                wrench_nodes,
+            )
+        )
+
         for count, i in enumerate(update_ticks, start=1):
             t = float(times[i])
             info_row = jax.tree.map(lambda a: a[i], info_np)
             self.mppi_logger.log(
                 count, t, info_row, optimal_np[i], mean_duration, mppi_dt
             )
-            roll_row = jax.tree.map(lambda a: a[i], forecast_np)
             if self.forecast_logger is not None:
-                self.forecast_logger.log(
-                    t, episode.dynamics_forecast.configuration.time_step, roll_row
-                )
-            wrench_nodes = np.concatenate(
-                [roll_row.wrench, roll_row.wrench[-1:]], axis=0
+                roll_row = jax.tree.map(lambda a: a[i], forecast_np)
+                self.forecast_logger.log(t, forecast_dt, roll_row)
+            self.objective_logger.log(
+                t, {k: v[count - 1] for k, v in terms_all.items()}
             )
-            ctx = ForecastContext(
-                wrench_horizon=jnp.asarray(wrench_nodes),
-                start_time=jnp.asarray(t, dtype=jnp.float32),
-                time_step=episode.dynamics_forecast.configuration.time_step,
-                horizon=episode.dynamics_forecast.configuration.horizon,
-            )
-            terms = terms_fn(
-                jnp.asarray(logs.x[i]),
-                jnp.asarray(outputs.control[i]),
-                jax.tree.map(lambda a: jnp.asarray(a[i]), aux_np),
-                jnp.asarray(t, dtype=jnp.float32),
-                ctx,
-            )
-            self.objective_logger.log(t, terms)
         self._log_episode_extras(times, logs)
 
     def _log_episode_extras(self, times, logs):
@@ -343,8 +392,18 @@ class ExternalWrenchTest(BaseTest):
         import jax
 
         pid_np = jax.device_get(logs.pid)
+
+        class _Row:
+            __slots__ = ("reference", "last_error", "cumulative_error",
+                         "saturation", "control")
+
         for i in range(len(times)):
-            row = jax.tree.map(lambda a: a[i], pid_np)
+            row = _Row()
+            row.reference = pid_np.reference[i]
+            row.last_error = pid_np.last_error[i]
+            row.cumulative_error = pid_np.cumulative_error[i]
+            row.saturation = pid_np.saturation[i]
+            row.control = pid_np.control[i]
             self.pid_logger.log(float(times[i]), row)
 
     def close(self):

@@ -100,6 +100,12 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
+    # Persistent XLA cache: repeat runs of the same configuration skip the
+    # (minutes-long over a TPU tunnel) episode compile.
+    from ..cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.list:
         for name in TestSuite.names():
             print(name)

@@ -84,6 +84,9 @@ def make_forecast_ctx(steps: int):
 
 
 def main():
+    from assistedmanipulation_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from assistedmanipulation_tpu.models import frankaridgeback as fr
 
     rollouts = int(os.environ.get("BENCH_ROLLOUTS", 10_000 - 2))

@@ -165,6 +165,9 @@ def run_cell(trajectory_name: str, strategy_name: str, duration: float, seed: in
 
 
 def main():
+    from assistedmanipulation_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     duration = float(os.environ.get("EXP_DURATION", 15.0))
     seed = int(os.environ.get("EXP_SEED", 0))
     trajectory_names = os.environ.get(
