@@ -204,6 +204,7 @@ class BaseTest:
             robot_configuration=acfg.dynamics,
             pid_configuration=pid_configuration,
             collect_logs=True,
+            filter_fn=self.actor.planner.filter_fn,
         )
         start = walltime.perf_counter()
         outputs, logs = episode.run(seed=0)

@@ -39,6 +39,7 @@ from ..objectives.track_point import (
     Configuration as TrackPointConfiguration,
     TrackPoint,
 )
+from ..safety import Configuration as SafetyConfiguration
 
 
 @dataclasses.dataclass
@@ -100,6 +101,10 @@ class Configuration:
     controller_rate: float = 0.05
     controller_substeps: int = 1
     forecast_rate: float = 0.0
+    # Optional QP trajectory safety filter (safety.Configuration). None =
+    # disabled, matching the reference actor's nullptr filter
+    # (actor.cpp:96-101).
+    safety_filter: Optional[SafetyConfiguration] = None
 
 
 class Actor:
@@ -135,7 +140,19 @@ class Actor:
         plant = fr.make_plant(
             self.objective, configuration.dynamics, self.model
         )
-        self.planner = mppi.Planner(configuration.mppi, plant)
+        # Optional QP safety filter (the reference's actor always passed a
+        # nullptr filter because TrajectorySafetyFilter was a stub,
+        # actor.cpp:96-101; ours is real — safety.make_safety_filter).
+        filter_fn = None
+        if configuration.safety_filter is not None:
+            from .. import safety as safety_module
+
+            filter_fn = safety_module.make_safety_filter(
+                configuration.safety_filter
+            )
+        self.planner = mppi.Planner(
+            configuration.mppi, plant, filter_fn=filter_fn
+        )
         self.plant_step = fr.make_plant_step(configuration.dynamics, self.model)
 
         # Forecast (actor.cpp:55-80).

@@ -91,11 +91,13 @@ class Episode:
         pid_configuration: pid_module.Configuration = None,
         dtype=jnp.float32,
         collect_logs: bool = False,
+        filter_fn=None,
     ):
         self.episode = episode or EpisodeConfiguration()
         if collect_logs and not self.episode.assisted:
             raise ValueError("collect_logs requires an assisted episode")
         self.collect_logs = collect_logs
+        self._filter_fn = filter_fn
         self.dtype = dtype
         self.model = frankaridgeback_model()
         self.robot_configuration = robot_configuration or fr.Configuration()
@@ -103,7 +105,9 @@ class Episode:
 
         self.objective = objective
         plant = fr.make_plant(objective, self.robot_configuration, self.model)
-        self.planner = mppi.Planner(mppi_configuration, plant)
+        self.planner = mppi.Planner(
+            mppi_configuration, plant, filter_fn=filter_fn
+        )
         self.trajectory = trajectory
         self.pid = pid_module.PID(
             pid_configuration or pid_module.HUMAN_POINT_CONTROL

@@ -59,3 +59,19 @@ def test_episode_engine_base_no_wrench(tmp_path):
     (run_folder,) = [entry.path for entry in os.scandir(tmp_path)]
     assert os.path.exists(os.path.join(run_folder, "dynamics", "joints.csv"))
     assert not os.path.exists(os.path.join(run_folder, "pid"))
+
+
+def test_episode_engine_with_safety_filter(tmp_path):
+    """The episode engine threads the actor's QP safety filter into the
+    planner's optimal re-rollout."""
+    patch = _patch(0.2)
+    patch["actor"]["safety_filter"] = {"iterations": 20}
+    ok = TestSuite.run("reach", str(tmp_path), patch=patch)
+    assert ok
+    (run_folder,) = [entry.path for entry in os.scandir(tmp_path)]
+    data = np.genfromtxt(
+        os.path.join(run_folder, "dynamics", "control.csv"),
+        delimiter=",",
+        skip_header=1,
+    )
+    assert np.isfinite(data).all()
