@@ -493,9 +493,15 @@ def make_lanes_planner(
     mppi_configuration,
     objective_cfg: ObjectiveConfiguration = None,
     robot_cfg: fr.Configuration = None,
+    filter_fn=None,
+    rollout_fn_wrapper=None,
 ):
     """Planner with the assisted-manipulation objective on the fused
-    batch-minor rollout path (cost channels identical to the vmap path)."""
+    batch-minor rollout path (cost channels identical to the vmap path).
+
+    ``filter_fn`` forwards to Planner (the QP safety filter);
+    ``rollout_fn_wrapper`` post-processes the rollout evaluator (e.g.
+    parallel.sharding.shard_rollout_fn for explicit per-device placement)."""
     from .. import mppi as mppi_module
     from ..models.model_data import frankaridgeback_model
     from ..objectives.assisted_manipulation import AssistedManipulation
@@ -513,4 +519,8 @@ def make_lanes_planner(
         mppi_configuration.time_step,
         mppi_configuration.cost_discount_factor,
     )
-    return mppi_module.Planner(mppi_configuration, plant, rollout_fn=rollout_fn)
+    if rollout_fn_wrapper is not None:
+        rollout_fn = rollout_fn_wrapper(rollout_fn)
+    return mppi_module.Planner(
+        mppi_configuration, plant, rollout_fn=rollout_fn, filter_fn=filter_fn
+    )

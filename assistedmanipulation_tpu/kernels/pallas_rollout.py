@@ -236,9 +236,16 @@ def make_pallas_planner(
     # 32: 411 solves/s).
     sublanes: int = 16,
     interpret: Optional[bool] = None,
+    filter_fn=None,
+    rollout_fn_wrapper=None,
 ):
     """Planner with the assisted-manipulation objective on the fused Pallas
-    rollout kernel (cost channels identical to the lanes / vmap paths)."""
+    rollout kernel (cost channels identical to the lanes / vmap paths).
+
+    ``filter_fn`` forwards to Planner (the QP safety filter,
+    safety.make_safety_filter). ``rollout_fn_wrapper`` post-processes the
+    rollout evaluator — e.g. parallel.sharding.shard_rollout_fn to place the
+    kernel per-device over a mesh (GSPMD cannot partition a pallas_call)."""
     from .. import mppi as mppi_module
     from ..models.model_data import frankaridgeback_model
     from ..objectives.assisted_manipulation import AssistedManipulation
@@ -258,4 +265,8 @@ def make_pallas_planner(
         sublanes=sublanes,
         interpret=interpret,
     )
-    return mppi_module.Planner(mppi_configuration, plant, rollout_fn=rollout_fn)
+    if rollout_fn_wrapper is not None:
+        rollout_fn = rollout_fn_wrapper(rollout_fn)
+    return mppi_module.Planner(
+        mppi_configuration, plant, rollout_fn=rollout_fn, filter_fn=filter_fn
+    )

@@ -18,6 +18,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..mppi import Planner, PlannerState
@@ -125,6 +126,88 @@ def make_sharded_update(
         donate_argnums=0,
     )
     return update
+
+
+def shard_rollout_fn(
+    rollout_fn,
+    mesh: Mesh,
+    axis: str = ROLLOUT_AXIS,
+    scenario_axis: Optional[str] = None,
+    scenario_weights=None,
+):
+    """shard_map a fused rollout evaluator (lanes / Pallas) over the mesh.
+
+    GSPMD cannot partition an opaque ``pallas_call``, so the flagship kernel
+    is placed per device explicitly: each device runs the SAME fused kernel
+    on its local block of the rollout batch — the TPU equivalent of the
+    reference's thread fan-out + future barrier (mppi.cpp:272-307), with the
+    mesh axis in place of the 36-thread block partition (mppi.cpp:277-287).
+
+    On a 2-D scenario x rollout mesh (``scenario_axis`` given, BASELINE
+    config 5) the forecast-scenario ensemble additionally splits over the
+    scenario axis: each device scores its rollout block against its local
+    scenario slice and the risk-neutral scenario mean
+    (forecast/scenarios.make_scenario_rollout_fn semantics) becomes a psum
+    over the scenario axis. ``scenario_weights`` (global, shape (C,)) makes
+    the reduction risk-weighted instead.
+
+    Per-device shapes are static: rollout_count must divide the rollout mesh
+    axis size and the scenario count the scenario axis size.
+    """
+    if scenario_axis is None:
+        return jax.shard_map(
+            rollout_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(), P(), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+
+    from ..objectives.assisted_manipulation import ForecastContext
+
+    ctx_specs = ForecastContext(
+        wrench_horizon=P(scenario_axis),
+        start_time=P(),
+        time_step=P(),
+        horizon=P(),
+    )
+    scenario_shards = mesh.shape[scenario_axis]
+    if scenario_weights is not None:
+        weights = np.asarray(scenario_weights, dtype=np.float64)
+        weights = weights / weights.sum()
+
+    def local(noise, optimal_shifted, x0, time, ctx):
+        horizons = ctx.wrench_horizon  # (C_local, steps + 1, 6)
+        local_scenarios = horizons.shape[0]
+
+        def one(horizon):
+            return rollout_fn(
+                noise,
+                optimal_shifted,
+                x0,
+                time,
+                ctx._replace(wrench_horizon=horizon),
+            )
+
+        costs = jax.lax.map(one, horizons)  # (C_local, R_local, 2)
+        if scenario_weights is None:
+            total = jax.lax.psum(jnp.sum(costs, axis=0), scenario_axis)
+            return total / (local_scenarios * scenario_shards)
+        local_w = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(weights, costs.dtype),
+            jax.lax.axis_index(scenario_axis) * local_scenarios,
+            local_scenarios,
+        )
+        partial = jnp.einsum("c,crk->rk", local_w, costs)
+        return jax.lax.psum(partial, scenario_axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), ctx_specs),
+        out_specs=P(axis),
+        check_vma=False,
+    )
 
 
 def scenario_ctx_shardings(mesh: Mesh, axis: str = SCENARIO_AXIS):

@@ -6,16 +6,24 @@ scaling (rollouts grow with the mesh, the honest MPPI scaling mode: more
 devices buy a bigger sample population per solve at the same rate) and
 reports efficiency = rate_N / rate_1 (weak) per mesh size.
 
+The measured program is the flagship composition
+(parallel/flagship.build_flagship): the fused rollout kernel placed
+per-device with shard_map — the same path bench.py times on one chip and
+dryrun_multichip validates. The reference's analog is the 36-thread block
+partition + future barrier (src/controller/mppi.cpp:272-307); here the
+"threads" are mesh devices and the barrier is the psum in the weighting.
+
 On a multi-chip TPU slice run it as-is; on a single-chip or CPU machine use
 SCALING_FAKE_DEVICES=8 to validate the sharded program path on virtual
-devices (timings then measure the path, not ICI).
+devices (timings then measure the path, not ICI — label them as such).
 
 Multi-host: launch one process per host with JAX_COORDINATOR/... env and
 pass --multihost (parallel/sharding.initialize_multi_host).
 
 Usage:
     [SCALING_FAKE_DEVICES=8] python scripts/scaling_bench.py
-        [--rollouts-per-device 1024] [--steps 50] [--iters 10] [--multihost]
+        [--rollouts-per-device 1024] [--steps 50] [--iters 10]
+        [--out scaling.json] [--multihost]
 """
 
 import argparse
@@ -39,6 +47,7 @@ def main():
     parser.add_argument("--rollouts-per-device", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--out", default=None, help="write results JSON here")
     parser.add_argument("--multihost", action="store_true")
     args = parser.parse_args()
 
@@ -53,34 +62,39 @@ def main():
 
         initialize_multi_host()
 
-    import jax.numpy as jnp
-    from bench import build_franka_planner, make_forecast_ctx
-    from assistedmanipulation_tpu.models import frankaridgeback as fr
+    from assistedmanipulation_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from assistedmanipulation_tpu.parallel import sharding
+    from assistedmanipulation_tpu.parallel.flagship import build_flagship
 
     devices = jax.devices()
+    # Pallas on a real TPU; the pure-XLA lanes kernel on the CPU fake mesh
+    # (interpret-mode pallas would time the interpreter, not the path).
+    backend = os.environ.get(
+        "BENCH_BACKEND",
+        "pallas" if jax.default_backend() == "tpu" else "lanes",
+    )
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
-    ctx = make_forecast_ctx(args.steps)
-    x0 = jnp.asarray(fr.make_state("huddled"), dtype=jnp.float32)
 
     results = []
     for n in sizes:
         rollouts = args.rollouts_per_device * n - 2
-        planner = build_franka_planner(
-            rollouts, args.steps, os.environ.get("BENCH_BACKEND", "lanes")
+        mesh = sharding.make_mesh(devices[:n]) if n > 1 else None
+        flagship = build_flagship(
+            rollouts=rollouts, steps=args.steps, backend=backend, mesh=mesh
         )
-        mesh = sharding.make_mesh(devices[:n])
-        state = sharding.shard_planner_state(planner, planner.init(seed=0), mesh)
-        update = sharding.make_sharded_update(planner, mesh)
+        state = flagship.init(seed=0)
+        ctx = flagship.make_ctx()
 
-        state, _ = update(state, x0, jnp.asarray(0.0, jnp.float32), ctx)
+        state, _ = flagship.update(state, flagship.x0, 0.0, ctx)
         jax.block_until_ready(state.optimal_control)
 
         start = time.perf_counter()
         t = 0.0
         for _ in range(args.iters):
             t += 0.01
-            state, _ = update(state, x0, jnp.asarray(t, jnp.float32), ctx)
+            state, _ = flagship.update(state, flagship.x0, t, ctx)
         jax.block_until_ready(state.optimal_control)
         elapsed = time.perf_counter() - start
 
@@ -88,9 +102,11 @@ def main():
         results.append(
             {
                 "devices": n,
-                "rollouts": planner.rollout_count,
+                "backend": backend,
+                "platform": jax.default_backend(),
+                "rollouts": flagship.planner.rollout_count,
                 "solves_per_s": round(rate, 2),
-                "rollouts_per_s": round(rate * planner.rollout_count),
+                "rollouts_per_s": round(rate * flagship.planner.rollout_count),
             }
         )
 
@@ -98,6 +114,9 @@ def main():
     for row in results:
         row["weak_scaling_efficiency"] = round(row["solves_per_s"] / base, 3)
         print(json.dumps(row))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

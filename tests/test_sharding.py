@@ -58,6 +58,45 @@ def test_scenario_mesh_layout():
         sharding.make_scenario_mesh(3, jax.devices()[:8])
 
 
+def test_flagship_pallas_shard_map_matches_unsharded():
+    """VERDICT r1 item 1: the fused Pallas kernel (interpret mode on CPU)
+    placed per-device via shard_map over the 2-D scenario x rollout mesh —
+    with the QP safety filter attached — must match the unsharded planner.
+    Same composition root (parallel/flagship.build_flagship) as bench.py and
+    the driver's dryrun_multichip."""
+    from assistedmanipulation_tpu.parallel.flagship import build_flagship
+
+    mesh = sharding.make_scenario_mesh(2, jax.devices()[:8])
+    kwargs = dict(
+        rollouts=30,  # 32 with statics = 8 per rollout-axis shard
+        steps=3,
+        backend="pallas",
+        scenarios=2,
+        safety=True,
+        sublanes=1,
+        interpret=True,
+    )
+    flagship = build_flagship(mesh=mesh, **kwargs)
+    state = flagship.init(seed=0)
+    ctx = flagship.make_ctx()
+    state, _ = flagship.update(state, flagship.x0, 0.0, ctx)
+    state, _ = flagship.update(state, flagship.x0, 0.01, ctx)
+    assert not state.noise.sharding.is_fully_replicated
+
+    single = build_flagship(**kwargs)
+    s = single.init(seed=0)
+    sctx = single.make_ctx()
+    s, _ = single.update(s, single.x0, 0.0, sctx)
+    s, _ = single.update(s, single.x0, 0.01, sctx)
+
+    np.testing.assert_allclose(
+        np.asarray(state.optimal_control),
+        np.asarray(s.optimal_control),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
 def test_scenario_sharded_franka_update():
     """Config 5 layout end-to-end on the virtual mesh: scenario-ensemble ctx
     sharded over the scenario axis, rollouts over the rollout axis."""
