@@ -162,6 +162,7 @@ class PlannerState(NamedTuple):
     last_shift_time: jax.Array  # scalar: time the horizon was last aligned to
     last_update_time: jax.Array  # scalar: time of the last publish
     sg_buffer: jax.Array  # (dof, L) smoothing history ((0,0) if disabled)
+    sg_time: jax.Array  # time sg_buffer was last filled (NaN before first)
     rng: jax.Array  # threefry key
     update_count: jax.Array  # int32
     optimal_cost: jax.Array  # scalar: cost of the optimal rollout (logging)
@@ -292,6 +293,7 @@ class Planner:
             last_shift_time=jnp.asarray(0.0, dtype=self.dtype),
             last_update_time=jnp.asarray(0.0, dtype=self.dtype),
             sg_buffer=sg_buffer,
+            sg_time=jnp.asarray(jnp.nan, dtype=self.dtype),
             rng=jax.random.PRNGKey(seed),
             update_count=jnp.asarray(0, dtype=jnp.int32),
             optimal_cost=jnp.asarray(0.0, dtype=self.dtype),
@@ -301,16 +303,27 @@ class Planner:
     # -- public API ----------------------------------------------------------
 
     def update(
-        self, state: PlannerState, x, time, ctx=None
+        self, state: PlannerState, x, time, ctx=None, noise_override=None
     ) -> tuple[PlannerState, UpdateInfo]:
         """One MPPI update at plant state ``x`` and time ``time``
         (mppi::Trajectory::update, mppi.cpp:154-187). ``ctx`` is forwarded to
-        the plant functions (e.g. the forecast horizon cache)."""
+        the plant functions (e.g. the forecast horizon cache).
+
+        ``noise_override`` (parity-test hook): a (rollouts, steps, dof) array
+        replacing the sampled rollout noise — used by the reference-pipeline
+        replayer (parity.py) to feed the engine the exact noise the
+        reference's serial mt19937 sampling produced (mppi.cpp:250-261), so
+        the BASELINE "control-seq max error" metric is measurable. The two
+        static rollouts (zero, negated optimal) are still built from the
+        engine's own state."""
+        if noise_override is not None:
+            noise_override = jnp.asarray(noise_override, dtype=self.dtype)
         return self._update(
             state,
             jnp.asarray(x, dtype=self.dtype),
             jnp.asarray(time, dtype=self.dtype),
             ctx,
+            noise_override,
         )
 
     def get(self, state: PlannerState, time) -> jax.Array:
@@ -320,7 +333,7 @@ class Planner:
 
     # -- implementation ------------------------------------------------------
 
-    def _sample(self, state: PlannerState, time: jax.Array):
+    def _sample(self, state: PlannerState, time: jax.Array, noise_override=None):
         """Shift + resample rollout noise (mppi.cpp:189-270)."""
         cfg = self.configuration
         steps, dof = self.steps, self.plant.control_dof
@@ -367,6 +380,11 @@ class Planner:
         )
         kept = jnp.where(do_shift, kept, old)
         sampled_noise = jnp.where(keep_mask[:, None, None], kept, fresh)
+        if noise_override is not None:
+            # Parity-test hook (see Planner.update): recorded noise replaces
+            # the engine's sampling; elite keep/shift already happened on the
+            # recorder's side.
+            sampled_noise = noise_override
 
         noise = jnp.concatenate(
             [
@@ -411,7 +429,26 @@ class Planner:
 
         return jax.vmap(single)(noise)
 
-    def _optimise(self, costs, noise, optimal_shifted, sg_buffer, shift_by):
+    def _sg_trim_offset(self, state: PlannerState, time: jax.Array):
+        """The smoothing window's trim offset, time-based like
+        MovingExtendedWindow::trim (filter.cpp:47-60): the number of horizon
+        slots whose fill time (sg_time + i*dt) precedes the current update
+        time. NOT the same as shift_by — the reference's truncating
+        ``(int)((time - last_shift)/dt)`` (mppi.cpp:194) and its time-search
+        trim disagree by one slot when float representation bites (e.g. at
+        the default rates (0.2-0.15)/0.01 truncates to 4 while the slot-time
+        search advances 5); reproduced faithfully so the control sequence
+        matches the reference pipeline (see parity.py / scripts/
+        parity_replay.py)."""
+        dt = self.configuration.time_step
+        slot_times = state.sg_time + jnp.arange(self.steps, dtype=self.dtype) * dt
+        return jnp.where(
+            jnp.isnan(state.sg_time),
+            0,
+            jnp.sum((slot_times < time).astype(jnp.int32)),
+        )
+
+    def _optimise(self, costs, noise, optimal_shifted, sg_buffer, sg_shift):
         """Weight, step, smooth, clip (mppi.cpp:344-448).
 
         costs: (R, 2) channels (saturations V, smooth S). The min/max
@@ -454,7 +491,7 @@ class Planner:
 
         if self._smoother is not None:
             smoothed, new_buffer = sg_smooth(
-                self._smoother, sg_buffer, updated, shift_by
+                self._smoother, sg_buffer, updated, sg_shift
             )
             updated = smoothed
             sg_buffer = jnp.where(degenerate, sg_buffer, new_buffer)
@@ -500,14 +537,20 @@ class Planner:
             optimal = filtered
         return compose_cost(cost), states, optimal
 
-    def _update_impl(self, state: PlannerState, x0, time, ctx=None):
+    def _update_impl(self, state: PlannerState, x0, time, ctx=None,
+                     noise_override=None):
         noise, optimal_shifted, shift_by, last_shift_time, rng = self._sample(
-            state, time
+            state, time, noise_override
         )
         costs = self._rollout_batch(noise, optimal_shifted, x0, time, ctx)
         optimal, weights, gradient, sg_buffer, degenerate = self._optimise(
-            costs, noise, optimal_shifted, state.sg_buffer, shift_by
+            costs,
+            noise,
+            optimal_shifted,
+            state.sg_buffer,
+            self._sg_trim_offset(state, time),
         )
+        sg_time = jnp.where(degenerate, state.sg_time, time)
         if (
             self.configuration.optimal_rollout_mode == "batch"
             and self.filter_fn is None
@@ -531,6 +574,7 @@ class Planner:
             last_shift_time=last_shift_time,
             last_update_time=time,
             sg_buffer=sg_buffer,
+            sg_time=sg_time,
             rng=rng,
             update_count=state.update_count + 1,
             optimal_cost=optimal_cost,

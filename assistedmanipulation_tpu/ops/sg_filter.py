@@ -87,7 +87,7 @@ class SGSmoother:
     def buffer_length(self) -> int:
         return self.steps + 2 * self.window + 1
 
-    def weights(self, dtype=np.float32) -> np.ndarray:
+    def weights(self, dtype=np.float64) -> np.ndarray:
         return gram_weights(self.window, 0, self.order, 0).astype(dtype)
 
     def init_buffer(self, control_dof: int, dtype=jnp.float32) -> jax.Array:

@@ -82,6 +82,7 @@ def planner_state_shardings(planner: Planner, mesh: Mesh, axis: str = ROLLOUT_AX
         last_shift_time=replicated,
         last_update_time=replicated,
         sg_buffer=replicated,
+        sg_time=replicated,
         rng=replicated,
         update_count=replicated,
         optimal_cost=replicated,

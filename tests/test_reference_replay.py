@@ -1,0 +1,50 @@
+"""BASELINE "control-seq max error" metric pinned as a test.
+
+The float64 reference-pipeline replayer (parity.py — serial mt19937 column
+noise in elite-sort order, truncating shift, time-searched SG window trim,
+min/max softmax, re-rollout publish) drives the JAX engine with its recorded
+noise for 12 consecutive closed-loop updates on the point-mass plant; the
+published control sequences must agree to float64 rounding.
+
+scripts/parity_replay.py writes the committed artifact
+(PARITY_CONTROL_SEQ.json) with the same protocol.
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import scripts.parity_replay as pr  # noqa: E402
+
+
+def test_control_seq_matches_reference_pipeline_f64():
+    result = pr.run(updates=12, rollouts=30, dtype="float64")
+    assert result["control_seq_max_error"] < 1e-9, result
+    # Every update individually, not just the max: divergence in any single
+    # update (e.g. an SG trim off-by-one) shows up immediately.
+    assert all(e < 1e-9 for e in result["per_update_max_error"]), result
+
+
+def test_sg_trim_disagrees_with_truncating_shift_at_default_rates():
+    """The reference's (int)((t - last)/dt) shift (mppi.cpp:194) and its
+    time-searched window trim (filter.cpp:47-60) disagree by one slot at the
+    default 0.05 s control period / 0.01 s rollout step — the engine
+    reproduces the trim from buffer fill times (Planner._sg_trim_offset),
+    which is why the f64 replay matches. Pin the arithmetic fact itself so
+    the behavior is never "simplified" back to shift_by."""
+    last = 0.0
+    mismatches = []
+    for k in range(1, 13):
+        t = k * 0.05
+        shift_by = int((t - last) / 0.01)
+        trim = next(
+            i for i in range(60) if (k - 1) * 0.05 + i * 0.01 >= t
+        )
+        if shift_by != trim:
+            mismatches.append(k)
+        if shift_by > 0:
+            last = t
+    assert mismatches == [4, 5, 6, 7, 8, 9, 10], mismatches
