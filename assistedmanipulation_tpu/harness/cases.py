@@ -250,18 +250,28 @@ class BaseTest:
             pre-fetched as stacked host arrays (one transfer, not 3000)."""
 
             __slots__ = ("ee_position", "ee_orientation",
-                         "ee_linear_velocity", "ee_angular_velocity")
+                         "ee_linear_velocity", "ee_angular_velocity",
+                         "ee_linear_acceleration", "ee_angular_acceleration",
+                         "joint_power")
 
         ee_pos = np.asarray(aux.ee_position)
         ee_quat = np.asarray(aux.ee_orientation)
         ee_lin = np.asarray(aux.ee_linear_velocity)
         ee_ang = np.asarray(aux.ee_angular_velocity)
+        # Accelerations + joint power come from the scan itself (they need
+        # the solved qdd and applied torque, EpisodeLogs fields).
+        ee_lin_acc = np.asarray(logs.ee_linear_acceleration)
+        ee_ang_acc = np.asarray(logs.ee_angular_acceleration)
+        joint_power = np.asarray(logs.joint_power)
         for i in range(ticks):
             row = _Row()
             row.ee_position = ee_pos[i]
             row.ee_orientation = ee_quat[i]
             row.ee_linear_velocity = ee_lin[i]
             row.ee_angular_velocity = ee_ang[i]
+            row.ee_linear_acceleration = ee_lin_acc[i]
+            row.ee_angular_acceleration = ee_ang_acc[i]
+            row.joint_power = float(joint_power[i])
             self.dynamics_logger.log(float(times[i]), x_np[i], row, control_np[i])
 
         fired = np.asarray(logs.update_fired)
@@ -438,7 +448,7 @@ class RectangleTest(ExternalWrenchTest):
 @register_test("pose")
 class PoseTest(ExternalWrenchTest):
     DEFAULT_PATCH = {
-        "position": {"type": "point", "point": {"point": [0.9, 0.9, 0.9]}}
+        "position": {"type": "point", "point": {"point": [1.0, 1.0, 1.0]}}
     }
 
 

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import frankaridgeback as fr
+from ..models.dynamics import FRICTION_EPS
 from ..models.model_data import RobotModel
 from ..objectives.assisted_manipulation import (
     COLLISION_PAIRS,
@@ -279,6 +280,18 @@ def step_cost_and_dynamics(
     M = L.lane_mass_matrix(model, fk)
     for i in range(12):
         M[i][i] = L.add(M[i][i], float(kd[i]) * dt)
+    # URDF Coulomb joint friction, implicitly regularized (same model as
+    # models/dynamics.friction_coefficients): tau_f = -c v_next with
+    # c = f/(|v|+eps); -c v on the rhs, +c dt on the implicit diagonal.
+    # Only joints with nonzero URDF friction pay (base x/y/pivot = 10).
+    for i in range(12):
+        f_i = float(model.friction[i]) if model.friction is not None else 0.0
+        d_i = float(model.damping[i]) if model.damping is not None else 0.0
+        if f_i == 0.0 and d_i == 0.0:
+            continue
+        c_i = f_i / (jnp.abs(v_list[i]) + FRICTION_EPS) + d_i
+        tau[i] = L.sub(tau[i], c_i * v_list[i])
+        M[i][i] = L.add(M[i][i], c_i * dt)
     qdd = L.lane_cholesky_solve(M, tau, like)
 
     v_next = [L.materialize(L.add(v_list[i], L.mul(dt, qdd[i])), like) for i in range(12)]

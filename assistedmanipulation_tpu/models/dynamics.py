@@ -175,6 +175,29 @@ def kinetic_energy(model: RobotModel, fk: FK, qd: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * jnp.einsum("...i,...ij,...j->...", qd, M, qd)
 
 
+# Velocity regularization of the Coulomb joint friction model. RaiSim
+# enforces URDF <dynamics friction> as a dry-friction constraint (exact
+# stiction); the TPU plant uses the standard implicit regularization
+# tau_f = -c(v) v_next with c(v) = f / (|v| + eps), which reaches the
+# kinetic value f sign(v) within 1% for |v| >= 0.1 and limits stiction
+# creep to |v| <= eps F / (f - F) under constant applied force F < f.
+# Entering the implicit (M + dt C) solve keeps the near-rest stiffness
+# c ~ f/eps unconditionally stable.
+FRICTION_EPS = 1e-3
+
+
+def friction_coefficients(model: RobotModel, v: jnp.ndarray) -> jnp.ndarray:
+    """Implicit Coulomb friction damping c(v) = f/(|v|+eps) (..., J).
+
+    Models the URDF joint friction (robot.urdf:41-75: 10 on the base
+    x/y/pivot joints) that RaiSim's solver applies and the reference plant
+    therefore exhibits (raisim_dynamics.cpp world built from the same URDF).
+    Returns zeros when the model declares no friction."""
+    f = jnp.asarray(model.friction, dtype=v.dtype)
+    damping = jnp.asarray(model.damping, dtype=v.dtype)
+    return f / (jnp.abs(v) + FRICTION_EPS) + damping
+
+
 @f32_matmuls
 def forward_dynamics(
     M: jnp.ndarray,

@@ -33,6 +33,7 @@ import dataclasses
 from typing import NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..mppi import Plant
@@ -163,7 +164,18 @@ class Configuration:
 
 class RobotAux(NamedTuple):
     """Per-step derived quantities (RaisimDynamics::calculate,
-    raisim_dynamics.cpp:150-204) shared by cost and integrate."""
+    raisim_dynamics.cpp:150-204) shared by cost and integrate.
+
+    The acceleration/power fields are zero on the MPPI hot path (derive_aux)
+    and filled by the simulation step (make_plant_step), which knows the
+    solved qdd and applied torque — mirroring the reference split where
+    get_end_effector_state exposes accelerations (dynamics.hpp:95-117) and
+    calculate() computes joint power (raisim_dynamics.cpp:176-179). Known
+    reference quirk NOT copied: the reference never calls
+    setComputeInverseDynamics(true) (commented out, raisim_dynamics.cpp:38)
+    so its logged EE acceleration is undefined and the angular acceleration
+    is hard-zeroed (raisim_dynamics.cpp:203); here both are real classical
+    accelerations d/dt(J v) = J̇ v + J q̈."""
 
     fk: kin.FK
     mass: jnp.ndarray  # (12, 12)
@@ -174,6 +186,9 @@ class RobotAux(NamedTuple):
     ee_jacobian: jnp.ndarray  # (6, 12) with the Rz(yaw) base override
     collision_link_positions: jnp.ndarray  # (8, 3)
     arm_mount_position: jnp.ndarray  # (3,)
+    ee_linear_acceleration: jnp.ndarray  # (3,)
+    ee_angular_acceleration: jnp.ndarray  # (3,)
+    joint_power: jnp.ndarray  # () tau . v
 
 
 @f32_matmuls
@@ -209,7 +224,31 @@ def derive_aux(model: RobotModel, x: jnp.ndarray) -> RobotAux:
         ee_jacobian=jacobian,
         collision_link_positions=kin.link_positions(model, fk, COLLISION_LINKS),
         arm_mount_position=kin.frame_transform(model, fk, "arm_mount_joint")[1],
+        ee_linear_acceleration=jnp.zeros(3, dtype=x.dtype),
+        ee_angular_acceleration=jnp.zeros(3, dtype=x.dtype),
+        joint_power=jnp.zeros((), dtype=x.dtype),
     )
+
+
+@f32_matmuls
+def ee_classical_acceleration(model: RobotModel, q, v, qdd):
+    """Classical end-effector accelerations (a, alpha) = d/dt (J(q) v) =
+    J̇ v + J q̈, via one jvp through the kinematics (no J̇ bookkeeping).
+
+    Replaces raisim getFrameAcceleration (raisim_dynamics.cpp:199-203),
+    which the reference leaves undefined (setComputeInverseDynamics is
+    commented out, raisim_dynamics.cpp:38) and whose angular part is
+    hard-zeroed; both are computed properly here."""
+
+    def ee_velocity(q, v):
+        fk = kin.forward_kinematics(model, q)
+        _, p_ee = kin.frame_transform(model, fk, model.end_effector_frame)
+        J_lin = kin.point_jacobian(model, fk, p_ee, body=EE_BODY)
+        J_ang = kin.angular_jacobian(model, fk, body=EE_BODY)
+        return J_lin @ v, J_ang @ v
+
+    _, (lin_acc, ang_acc) = jax.jvp(ee_velocity, (q, v), (v, qdd))
+    return lin_acc, ang_acc
 
 
 # --- actuation + integration ------------------------------------------------
@@ -242,14 +281,19 @@ def wrench_generalized_force(model, aux: RobotAux, wrench: jnp.ndarray):
 
 
 @f32_matmuls
-def integrate_with_wrench(model, kp, kd, x, u, aux: RobotAux, wrench, dt):
+def integrate_with_wrench_extras(model, kp, kd, x, u, aux: RobotAux, wrench, dt):
     """Full plant step with an applied external wrench
     (RaisimDynamics::step = act + integrate + update,
     raisim_dynamics.cpp:255-264). Semi-implicit Euler with implicit PD
-    damping (see models/dynamics.py)."""
+    damping (see models/dynamics.py). Also returns (qdd, tau_actuation) for
+    the simulation/logging path (EE accelerations + joint power)."""
     tau = _pd_and_feedforward(x, u, kp, kd)
     q_ext = wrench_generalized_force(model, aux, wrench)
-    qdd = dyn.forward_dynamics(aux.mass, tau + q_ext, kd, dt)
+    # URDF Coulomb joint friction (base x/y/pivot = 10), implicitly
+    # regularized: tau_f = -c v_next = -c v - c dt qdd (models/dynamics.py).
+    v = x[VELOCITY]
+    c = dyn.friction_coefficients(model, v)
+    qdd = dyn.forward_dynamics(aux.mass, tau + q_ext - c * v, kd + c, dt)
 
     v_next = x[VELOCITY] + dt * qdd
     q_next = x[POSITION] + dt * v_next
@@ -259,10 +303,17 @@ def integrate_with_wrench(model, kp, kd, x, u, aux: RobotAux, wrench, dt):
     external_power = u @ (aux.ee_jacobian.T @ wrench)
     energy = energy_tank_step(x[ENERGY], -external_power, dt)
 
-    return (
+    x_next = (
         jnp.concatenate([q_next, v_next, x[WRENCH], energy[None]])
         .astype(x.dtype)
     )
+    return x_next, qdd, tau
+
+
+def integrate_with_wrench(model, kp, kd, x, u, aux: RobotAux, wrench, dt):
+    """MPPI hot-path step: state only (the extras are dead-code-eliminated
+    by XLA when unused, but the explicit wrapper keeps call sites honest)."""
+    return integrate_with_wrench_extras(model, kp, kd, x, u, aux, wrench, dt)[0]
 
 
 def make_plant(
@@ -296,9 +347,31 @@ def make_plant(
     )
 
 
+def simulation_extras(model, aux: RobotAux, x, tau, qdd, gravity=(0.0, 0.0, 9.81)):
+    """Fill the aux acceleration/power fields from a solved step.
+
+    joint_power = (tau_pd + S_arm u + h(q, v)) . v — the reference's
+    getGeneralizedForce (feedforward nonlinearities + arm torque + PD)
+    dotted with the generalized velocity (raisim_dynamics.cpp:176-179).
+    The h term is NOT in the rollout hot path (it cancels against the
+    feedforward there); it is recomputed here for logging only. Gravity
+    default matches the reference world's (0, 0, 9.81)
+    (raisim_dynamics.hpp:58-61)."""
+    q, v = x[POSITION], x[VELOCITY]
+    h = dyn.nonlinear_effects(model, aux.fk, v, gravity)
+    lin_acc, ang_acc = ee_classical_acceleration(model, q, v, qdd)
+    return aux._replace(
+        ee_linear_acceleration=lin_acc,
+        ee_angular_acceleration=ang_acc,
+        joint_power=(tau + h) @ v,
+    )
+
+
 def make_plant_step(configuration: Configuration = None, model: RobotModel = None):
     """Plant-side step with wrench input, for the simulator loop and the
-    DynamicsForecast rollout: step(x, u, wrench, dt) -> (x_next, aux)."""
+    DynamicsForecast rollout: step(x, u, wrench, dt) -> (x_next, aux).
+    The returned aux belongs to the pre-step state, with the accelerations
+    and joint power of the step just taken (simulation_extras)."""
     model = model or frankaridgeback_model()
     configuration = configuration or Configuration()
     _, kp_np, kd_np = configuration.resolve()
@@ -307,9 +380,10 @@ def make_plant_step(configuration: Configuration = None, model: RobotModel = Non
         aux = derive_aux(model, x)
         kp = jnp.asarray(kp_np, dtype=x.dtype)
         kd = jnp.asarray(kd_np, dtype=x.dtype)
-        x_next = integrate_with_wrench(
+        x_next, qdd, tau = integrate_with_wrench_extras(
             model, kp, kd, x, u, aux, jnp.asarray(wrench, dtype=x.dtype), dt
         )
+        aux = simulation_extras(model, aux, x, tau, qdd)
         return x_next, aux
 
     return step

@@ -66,6 +66,8 @@ class RobotModel:
     upper_limit: np.ndarray
     effort_limit: np.ndarray
     velocity_limit: np.ndarray
+    damping: np.ndarray  # (J,) URDF viscous joint damping
+    friction: np.ndarray  # (J,) URDF Coulomb dry joint friction
     # Named fixed frames: name -> (parent moving link index, R (3,3), p (3,))
     frames: dict
     link_frames: dict
@@ -100,6 +102,9 @@ def load_model(path: str = DEFAULT_MODEL_PATH) -> RobotModel:
                 j["limit"]["velocity"],
             ]
 
+    damping = np.array([j.get("damping", 0.0) for j in joints], dtype=np.float64)
+    friction = np.array([j.get("friction", 0.0) for j in joints], dtype=np.float64)
+
     ancestor = np.zeros((n, n), dtype=bool)
     for k in range(n):
         node = k
@@ -133,6 +138,8 @@ def load_model(path: str = DEFAULT_MODEL_PATH) -> RobotModel:
         upper_limit=limits[:, 1],
         effort_limit=limits[:, 2],
         velocity_limit=limits[:, 3],
+        damping=damping,
+        friction=friction,
         frames=frame_map(data["frames"]),
         link_frames=frame_map(data["link_frames"]),
         end_effector_frame=data["end_effector_frame"],

@@ -47,10 +47,10 @@ class PointTrajectory:
 
 @dataclasses.dataclass
 class CircularConfiguration:
-    origin: tuple = (0.75, 0.75, 0.75)
+    origin: tuple = (1.0, 1.0, 1.0)
     axis: tuple = (0.0, 0.0, 1.0)
     radius: float = 0.25
-    angular_velocity: float = 0.25
+    angular_velocity: float = 1.0
 
 
 class CircularTrajectory:
@@ -88,8 +88,8 @@ class RectangularConfiguration:
     origin: tuple = (1.0, 1.0, 1.0)
     axis: tuple = (0.0, 0.0, 1.0)
     width: float = 1.0
-    height: float = 1.0
-    velocity: float = 0.1
+    height: float = 0.0
+    velocity: float = 0.5
 
 
 class RectangularTrajectory:
@@ -140,11 +140,11 @@ class RectangularTrajectory:
 @dataclasses.dataclass
 class LissajousConfiguration:
     origin: tuple = (1.0, 1.0, 1.0)
-    x_amplitude: float = 1.0
-    y_amplitude: float = 1.0
+    x_amplitude: float = 0.4
+    y_amplitude: float = 0.2
     z_amplitude: float = 0.0
     x_frequency: float = 0.5
-    y_frequency: float = 1.0
+    y_frequency: float = 1.5
     z_frequency: float = 0.0
     y_phase: float = float(np.pi / 2)
     z_phase: float = 0.0
@@ -170,9 +170,9 @@ class LissajousTrajectory:
 @dataclasses.dataclass
 class FigureEightConfiguration:
     origin: tuple = (1.0, 1.0, 1.0)
-    x_amplitude: float = 0.2
-    y_amplitude: float = 0.1
-    frequency: float = 0.5
+    x_amplitude: float = 0.5
+    y_amplitude: float = 0.25
+    frequency: float = 1.0
 
 
 class FigureEightTrajectory(LissajousTrajectory):

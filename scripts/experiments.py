@@ -80,7 +80,7 @@ FORECAST_HORIZON = 0.3
 def make_trajectory(name: str):
     if name == "pose":
         return trajectories.PointTrajectory(
-            trajectories.PointConfiguration(point=(0.9, 0.9, 0.9))
+            trajectories.PointConfiguration(point=(1.0, 1.0, 1.0))
         )
     if name == "circle":
         return trajectories.CircularTrajectory(trajectories.CircularConfiguration())

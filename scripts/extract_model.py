@@ -119,6 +119,12 @@ def main(urdf_path, output_path):
                 "effort": float(limit_el.get("effort", "nan")),
                 "velocity": float(limit_el.get("velocity", "nan")),
             }
+        # <dynamics damping friction>: RaiSim applies these as viscous joint
+        # damping and Coulomb dry joint friction in its solver (the base
+        # x/y/pivot joints carry friction=10 in robot.urdf:41-75).
+        dynamics_el = joint.find("dynamics")
+        damping = float(dynamics_el.get("damping", "0")) if dynamics_el is not None else 0.0
+        friction = float(dynamics_el.get("friction", "0")) if dynamics_el is not None else 0.0
         joints[name] = {
             "type": joint.get("type"),
             "parent": parent,
@@ -126,6 +132,8 @@ def main(urdf_path, output_path):
             "axis": axis,
             "transform": parse_origin(joint),
             "limit": limit,
+            "damping": damping,
+            "friction": friction,
         }
 
     inertials = {}
@@ -220,6 +228,8 @@ def main(urdf_path, output_path):
                 "rotation": R.tolist(),
                 "translation": p.tolist(),
                 "limit": joint["limit"],
+                "damping": joint["damping"],
+                "friction": joint["friction"],
             }
         )
 

@@ -35,7 +35,9 @@ def test_hold_position_zero_control():
 
 
 def test_base_velocity_tracking():
-    """Base velocity commands track through the implicit kd=1000 PD."""
+    """Base velocity commands track through the implicit kd=1000 PD, with
+    the steady-state droop f/kd = 10/1000 = 0.01 from the URDF Coulomb
+    joint friction (robot.urdf:41-75) that RaiSim also exhibits."""
     step = fr.make_plant_step()
     x = jnp.asarray(fr.make_state("huddled"))
     u = jnp.zeros(12).at[0].set(0.3).at[2].set(0.5)
@@ -43,9 +45,72 @@ def test_base_velocity_tracking():
     for _ in range(200):
         x, _ = step(x, u, w, 0.005)
     v = np.asarray(x[fr.VELOCITY])
-    np.testing.assert_allclose(v[0], 0.3, atol=0.01)
-    np.testing.assert_allclose(v[2], 0.5, atol=0.01)
+    np.testing.assert_allclose(v[0], 0.3 - 0.01, atol=0.003)
+    np.testing.assert_allclose(v[2], 0.5 - 0.01, atol=0.003)
     assert np.asarray(x[fr.POSITION])[0] > 0.2  # moved in x
+
+
+def test_base_joint_coulomb_friction_stiction():
+    """Base joints hold still under sub-threshold generalized force: a pure
+    end-effector force whose base-x component stays below the 10 N Coulomb
+    limit leaves the base essentially parked (creep < eps) while the
+    frictionless arm joints give way."""
+    step = fr.make_plant_step()
+    x = jnp.asarray(fr.make_state("huddled"))
+    u = jnp.zeros(12)
+    # 8 N along +x at the hand: |J^T w| on base x is <= 8 < 10.
+    w = jnp.asarray([8.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    for _ in range(200):
+        x, aux = step(x, u, w, 0.005)
+    v = np.asarray(x[fr.VELOCITY])
+    q = np.asarray(x[fr.POSITION])
+    # Base x: creep-level motion only (regularized stiction, eps = 1e-3).
+    assert abs(v[0]) < 5e-3
+    assert abs(q[0] - fr.PRESETS["huddled"][0]) < 5e-3
+    # Arm moved: at least one arm joint picked up real velocity.
+    assert np.max(np.abs(v[3:10])) > 1e-2
+
+
+def test_ee_acceleration_matches_finite_difference():
+    """Classical EE acceleration J̇v + Jq̈ (ee_classical_acceleration)
+    matches the finite difference of the logged EE velocity. The reference
+    never actually computes this (setComputeInverseDynamics commented out,
+    raisim_dynamics.cpp:38); dynamics.hpp:95-117 is the API being honored."""
+    step = fr.make_plant_step()
+    x = jnp.asarray(fr.make_state("huddled"))
+    u = jnp.zeros(12).at[4].set(5.0)
+    w = jnp.asarray([10.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    dt = 0.002
+    auxes = []
+    for _ in range(4):
+        x, aux = step(x, u, w, dt)
+        auxes.append(aux)
+    a_logged = np.asarray(auxes[1].ee_linear_acceleration)
+    a_fd = (
+        np.asarray(auxes[2].ee_linear_velocity)
+        - np.asarray(auxes[1].ee_linear_velocity)
+    ) / dt
+    np.testing.assert_allclose(a_logged, a_fd, rtol=0.05, atol=5e-3)
+    alpha_logged = np.asarray(auxes[1].ee_angular_acceleration)
+    alpha_fd = (
+        np.asarray(auxes[2].ee_angular_velocity)
+        - np.asarray(auxes[1].ee_angular_velocity)
+    ) / dt
+    np.testing.assert_allclose(alpha_logged, alpha_fd, rtol=0.05, atol=5e-3)
+
+
+def test_joint_power_live_under_load():
+    """joint_power = tau . v (raisim_dynamics.cpp:176-179) is zero at rest
+    and nonzero once the robot moves under arm torque."""
+    step = fr.make_plant_step()
+    x = jnp.asarray(fr.make_state("huddled"))
+    u = jnp.zeros(12).at[4].set(5.0)
+    w = jnp.zeros(6)
+    x, aux0 = step(x, u, w, 0.005)
+    assert float(aux0.joint_power) == 0.0  # v = 0 on the first step
+    for _ in range(20):
+        x, aux = step(x, u, w, 0.005)
+    assert abs(float(aux.joint_power)) > 1e-3
 
 
 def test_energy_tank_integrates_external_power():
