@@ -1,27 +1,55 @@
 """Offline analysis of experiment runs (reference src/analysis.py).
 
-Reads the CSV tree a harness run writes (the reference schema) and produces:
+Reads the CSV tree a harness run writes (the reference schema) and produces
+every figure class the reference analysis script can draw:
 
-- per-run plots: optimal cost, tank energy, applied force magnitude,
-  reference-tracking error, per-term objective costs
-  (analysis.py:128-348);
-- multi-run comparison tables: mean user force and tracking RMSE per
-  (trajectory x forecast) combination (analysis.py:350-504) — the headline
-  experiment numbers of the project (analysis.py:439-460).
+- per-run plots (analysis.py:128-348): reference error (error.png),
+  overview panel (overview.png: optimal cost / observed force / tank
+  energy / reference error), per-channel control timeseries (control.png),
+  per-joint position timeseries (joints.png), the MPPI optimal rollout per
+  control channel (optimal_rollout.png), and per-term objective costs
+  (objective.png);
+- multi-run comparison plots (analysis.py:350-437): user force magnitude,
+  reference error, and end-effector velocity magnitude over time across
+  runs, plus the pid force/reference summary text files
+  (analysis.py:485-504);
+- the summary bar chart (analysis.py:439-474) from measured data instead of
+  hard-coded constants.
 
 CLI:
   python -m assistedmanipulation_tpu.analysis single <run_folder>
   python -m assistedmanipulation_tpu.analysis multiple <run_folder>...
+  python -m assistedmanipulation_tpu.analysis barchart <experiments.json> <out.png>
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import sys
 from typing import Optional
 
 import numpy as np
+
+# Column -> unit for the control timeseries (analysis.py:276-294).
+CONTROL_UNITS = {
+    "vx": "m/s",
+    "vy": "m/s",
+    "rotation": "rad/s",
+    **{f"tau{i}": "Nm" for i in range(1, 8)},
+    "gripper_x": "m",
+    "gripper_y": "m",
+}
+
+JOINT_UNITS = {
+    "x": "m",
+    "y": "m",
+    "yaw": "rad",
+    **{f"arm{i}": "rad" for i in range(1, 8)},
+    "gripper_x": "m",
+    "gripper_y": "m",
+}
 
 
 def _read_csv(path: str):
@@ -36,19 +64,32 @@ def _read_csv(path: str):
     return {name: data[:, i] for i, name in enumerate(header)}
 
 
+def _norm_over_time(table: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(time, row-wise L2 norm of all non-time columns) — the reference's
+    plot_time_norm (analysis.py:148-157)."""
+    keys = [k for k in table if k not in ("time", "update", "update_time")]
+    stacked = np.stack([table[k] for k in keys], axis=-1)
+    return table["time"], np.linalg.norm(stacked, axis=-1)
+
+
 @dataclasses.dataclass
 class Run:
     """Dataclass mirror of one run's CSV tree (analysis.py:15-126)."""
 
     folder: str
+    name: str = ""
     joints: Optional[dict] = None
     control: Optional[dict] = None
     ee_position: Optional[dict] = None
+    ee_angular_velocity: Optional[dict] = None
     tank_energy: Optional[dict] = None
+    power: Optional[dict] = None
     optimal_cost: Optional[dict] = None
+    optimal_rollout: Optional[dict] = None
     update: Optional[dict] = None
     objective: Optional[dict] = None
     pid_control: Optional[dict] = None
+    pid_error: Optional[dict] = None
     pid_reference: Optional[dict] = None
 
     @classmethod
@@ -57,16 +98,29 @@ class Run:
             path = os.path.join(folder, *parts)
             return _read_csv(path) if os.path.exists(path) else None
 
+        # "20240101120000_circle" -> "Circle" (analysis.py:114-116).
+        stem = os.path.basename(os.path.normpath(folder))
+        parts = stem.split("_")[1:] or [stem]
+        name = " ".join(parts)
+        name = name[:1].upper() + name[1:] if name else stem
+
         return cls(
             folder=folder,
+            name=name,
             joints=maybe("dynamics", "joints.csv"),
             control=maybe("dynamics", "control.csv"),
             ee_position=maybe("dynamics", "end_effector_position.csv"),
+            ee_angular_velocity=maybe(
+                "dynamics", "end_effector_angular_velocity.csv"
+            ),
             tank_energy=maybe("dynamics", "tank_energy.csv"),
+            power=maybe("dynamics", "power.csv"),
             optimal_cost=maybe("mppi", "optimal_cost.csv"),
+            optimal_rollout=maybe("mppi", "optimal_rollout.csv"),
             update=maybe("mppi", "update.csv"),
             objective=maybe("objective", "costs.csv"),
             pid_control=maybe("pid", "force", "control.csv"),
+            pid_error=maybe("pid", "force", "error.csv"),
             pid_reference=maybe("pid", "force", "reference.csv"),
         )
 
@@ -76,11 +130,7 @@ class Run:
         """Mean magnitude of the PID (human) force."""
         if self.pid_control is None:
             return None
-        forces = np.stack(
-            [self.pid_control[k] for k in ("control0", "control1", "control2")],
-            axis=-1,
-        )
-        return float(np.linalg.norm(forces, axis=-1).mean())
+        return float(_norm_over_time(self.pid_control)[1].mean())
 
     def tracking_rmse(self) -> Optional[float]:
         """RMSE between the end effector and the PID reference trajectory."""
@@ -116,8 +166,123 @@ class Run:
         }
 
 
+# -- plot helpers (lazy matplotlib import; Agg backend) -----------------------
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_timeseries(table: dict, units: dict, out: str, y_scale: str = "min_max"):
+    """One stacked subplot per column, the reference's generic timeseries
+    panel (analysis.py:194-274): y_scale in {'around_zero', 'from_zero',
+    'min_max'}."""
+    plt = _plt()
+    columns = [k for k in table if k not in ("time", "update", "update_time")]
+    figure, all_axes = plt.subplots(
+        len(columns), 1, figsize=(10, max(len(columns), 2)), layout="constrained"
+    )
+    if len(columns) == 1:
+        all_axes = [all_axes]
+    time = table["time"]
+    for column, axes in zip(columns, all_axes):
+        series = table[column]
+        axes.plot(time, series)
+        axes.grid(True, color="lightgrey")
+        y_min, y_max = float(series.min()), float(series.max())
+        if y_scale == "around_zero":
+            limit = max(abs(y_min), abs(y_max), 0.05) * 1.1
+            y_min, y_max = -limit, limit
+        elif y_scale == "from_zero":
+            y_min = 0.0
+            if abs(y_max) < 1e-3:
+                y_max = 1.0
+        elif abs(y_max - y_min) < 1e-3:  # min_max
+            y_min, y_max = y_min - 1.0, y_max + 1.0
+        axes.set_ylim(y_min, y_max)
+        axes.set_xlim(0.0, float(time.max()) if len(time) else 1.0)
+        unit = units.get(column, "")
+        axes.set_ylabel(
+            f"{column.replace('_', ' ')}" + (f" [{unit}]" if unit else ""),
+            fontsize=8,
+        )
+        if column != columns[-1]:
+            axes.set_xticklabels([])
+    all_axes[-1].set_xlabel("Time [s]")
+    figure.savefig(out, dpi=120)
+    plt.close(figure)
+    return out
+
+
+def plot_error(run: Run, out: str):
+    """Reference error norm over time (analysis.py:313-336)."""
+    if run.pid_error is None:
+        return None
+    plt = _plt()
+    time, error = _norm_over_time(run.pid_error)
+    figure = plt.figure(figsize=(8, 4), layout="tight")
+    axis = figure.gca()
+    axis.plot(time, error)
+    axis.set_xlim(0.0, float(time.max()))
+    axis.set_ylim(ymin=0.0)
+    axis.set_title("Reference Error of User Model over Time")
+    axis.set_xlabel("Time [s]")
+    axis.set_ylabel("Error [m]")
+    figure.savefig(out, dpi=120)
+    plt.close(figure)
+    return out
+
+
+def plot_overview(run: Run, out: str):
+    """The 4-panel 'useful' overview (analysis.py:183-192)."""
+    plt = _plt()
+    figure, axes = plt.subplots(4, 1, figsize=(10, 10), layout="constrained")
+    axes[0].set_title("Optimal Cost")
+    if run.optimal_cost is not None:
+        axes[0].plot(run.optimal_cost["time"], run.optimal_cost["cost"])
+        axes[0].set_yscale("symlog")
+    axes[1].set_title("Observed End Effector Force [N]")
+    if run.pid_control is not None:
+        axes[1].plot(*_norm_over_time(run.pid_control))
+    axes[2].set_title("Energy Tank Evolution [J]")
+    if run.tank_energy is not None:
+        axes[2].plot(run.tank_energy["time"], run.tank_energy["energy"])
+    axes[3].set_title("Reference Position Error [m]")
+    if run.pid_error is not None:
+        axes[3].plot(*_norm_over_time(run.pid_error))
+    axes[3].set_xlabel("Time [s]")
+    figure.savefig(out, dpi=120)
+    plt.close(figure)
+    return out
+
+
+def plot_objective(run: Run, out: str):
+    """Per-term objective costs (analysis.py:296-311)."""
+    if run.objective is None:
+        return None
+    return plot_timeseries(run.objective, {}, out, y_scale="from_zero")
+
+
+def plot_optimal_rollout(run: Run, out: str):
+    """Optimal control sequence per channel over updates — the repo analog
+    of plotting mppi/optimal_rollout.csv (MppiResults, analysis.py:24-30)."""
+    if run.optimal_rollout is None:
+        return None
+    return plot_timeseries(
+        run.optimal_rollout,
+        {f"control{i}": u for i, u in enumerate(CONTROL_UNITS.values())},
+        out,
+        y_scale="around_zero",
+    )
+
+
 def analyse_single(folder: str, plot: bool = True) -> dict:
-    """Per-run summary + plots (analysis.py:128-348)."""
+    """Per-run summary + the full reference figure set (analysis.py:338-348)."""
     run = Run.load(folder)
     summary = run.summary()
     for key, value in summary.items():
@@ -125,48 +290,65 @@ def analyse_single(folder: str, plot: bool = True) -> dict:
 
     if plot:
         try:
-            import matplotlib
-
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-
-            figure, axes = plt.subplots(2, 2, figsize=(12, 8))
-            if run.optimal_cost is not None:
-                axes[0, 0].plot(run.optimal_cost["time"], run.optimal_cost["cost"])
-                axes[0, 0].set_title("optimal rollout cost")
-                axes[0, 0].set_yscale("symlog")
-            if run.tank_energy is not None:
-                axes[0, 1].plot(run.tank_energy["time"], run.tank_energy["energy"])
-                axes[0, 1].set_title("tank energy")
-            if run.pid_control is not None:
-                force = np.linalg.norm(
-                    np.stack(
-                        [run.pid_control[f"control{i}"] for i in range(3)], -1
-                    ),
-                    axis=-1,
-                )
-                axes[1, 0].plot(run.pid_control["time"], force)
-                axes[1, 0].set_title("user force magnitude [N]")
-            if run.objective is not None:
-                for name, series in run.objective.items():
-                    if name in ("time", "total"):
-                        continue
-                    axes[1, 1].plot(run.objective["time"], series, label=name)
-                axes[1, 1].set_title("objective terms")
-                axes[1, 1].set_yscale("symlog")
-                axes[1, 1].legend(fontsize=6)
-            figure.tight_layout()
-            out = os.path.join(folder, "analysis.png")
-            figure.savefig(out, dpi=120)
-            print(f"  wrote {out}")
+            wrote = [
+                plot_error(run, os.path.join(folder, "error.png")),
+                plot_overview(run, os.path.join(folder, "overview.png")),
+                run.control
+                and plot_timeseries(
+                    run.control,
+                    CONTROL_UNITS,
+                    os.path.join(folder, "control.png"),
+                    y_scale="around_zero",
+                ),
+                run.joints
+                and plot_timeseries(
+                    run.joints, JOINT_UNITS, os.path.join(folder, "joints.png")
+                ),
+                plot_objective(run, os.path.join(folder, "objective.png")),
+                plot_optimal_rollout(
+                    run, os.path.join(folder, "optimal_rollout.png")
+                ),
+            ]
+            for path in wrote:
+                if path:
+                    print(f"  wrote {path}")
         except Exception as error:
             print(f"  plotting skipped: {error}")
     return summary
 
 
-def analyse_multiple(folders) -> list:
-    """Comparison table over runs (analysis.py:350-504)."""
-    rows = [Run.load(folder).summary() for folder in folders]
+# -- multi-run comparisons (analysis.py:350-504) -------------------------------
+
+
+def _plot_norm_multi(runs, table_attr: str, ylabel: str, out: str):
+    plt = _plt()
+    figure = plt.figure(figsize=(7, 4), layout="tight")
+    axes = figure.gca()
+    drew = False
+    for run in runs:
+        table = getattr(run, table_attr)
+        if table is None:
+            continue
+        axes.plot(*_norm_over_time(table), label=run.name)
+        drew = True
+    if not drew:
+        plt.close(figure)
+        return None
+    axes.grid()
+    axes.set_ylim(ymin=0.0)
+    axes.set_xlabel("Time [s]")
+    axes.set_ylabel(ylabel)
+    axes.legend()
+    figure.savefig(out, dpi=120)
+    plt.close(figure)
+    return out
+
+
+def analyse_multiple(folders, plot: bool = True) -> list:
+    """Comparison table + the reference's multi-run figures and summary
+    text files (analysis.py:350-504)."""
+    runs = [Run.load(folder) for folder in folders]
+    rows = [run.summary() for run in runs]
     width = max(len(os.path.basename(r["folder"])) for r in rows)
     print(
         f"{'run':<{width}}  {'force[N]':>10}  {'rmse[m]':>10}  {'solve[ms]':>10}"
@@ -181,16 +363,101 @@ def analyse_multiple(folders) -> list:
             f"{rmse if rmse is None else f'{rmse:10.4f}'}  "
             f"{solve if solve is None else f'{solve * 1e3:10.2f}'}"
         )
+
+    parent = os.path.dirname(os.path.normpath(folders[0])) or "."
+    stem = os.path.basename(os.path.normpath(parent)) or "runs"
+    if plot:
+        try:
+            for path in (
+                _plot_norm_multi(
+                    runs,
+                    "pid_control",
+                    "Force [N]",
+                    os.path.join(parent, f"{stem}_effort.png"),
+                ),
+                _plot_norm_multi(
+                    runs,
+                    "pid_error",
+                    "User Trajectory Error [m]",
+                    os.path.join(parent, f"{stem}_reference_error.png"),
+                ),
+                _plot_norm_multi(
+                    runs,
+                    "ee_angular_velocity",
+                    "End-Effector Velocity [m/s]",
+                    os.path.join(parent, f"{stem}_velocity.png"),
+                ),
+            ):
+                if path:
+                    print(f"wrote {path}")
+        except Exception as error:
+            print(f"plotting skipped: {error}")
+
+    # Summary text files (analysis.py:485-504).
+    with open(os.path.join(parent, "pid_force_summary.txt"), "w") as handle:
+        handle.write("name, mean, std, min, max\n")
+        for run in runs:
+            if run.pid_control is None:
+                continue
+            time, force = _norm_over_time(run.pid_control)
+            force = force[time > 0.01]
+            handle.write(
+                f'"{run.name}", {force.mean()}, {force.std()}, '
+                f"{force.min()}, {force.max()}\n"
+            )
+    with open(os.path.join(parent, "pid_reference_summary.txt"), "w") as handle:
+        handle.write("name, rmse, mean, std, min, max\n")
+        for run in runs:
+            if run.pid_error is None:
+                continue
+            time, error = _norm_over_time(run.pid_error)
+            error = error[time > 0.01]
+            rmse = float(np.sqrt(np.square(error).mean()))
+            handle.write(
+                f'"{run.name}", {rmse}, {error.mean()}, {error.std()}, '
+                f"{error.min()}, {error.max()}\n"
+            )
     return rows
+
+
+def barchart(experiments_json: str, out: str, metric: str = "mean_force"):
+    """Mean-user-force (or RMSE) bar chart by trajectory x strategy
+    (analysis.py:439-474) — from measured experiments.json, not the
+    reference's hard-coded constants."""
+    plt = _plt()
+    with open(experiments_json) as handle:
+        payload = json.load(handle)
+    results = payload["results"]
+    names = list(results.keys())
+    strategies = list(next(iter(results.values())).keys())
+    x = np.arange(len(names))
+    width = 0.8 / len(strategies)
+    figure, ax = plt.subplots(layout="constrained")
+    for i, strategy in enumerate(strategies):
+        values = [results[name][strategy][metric] for name in names]
+        rects = ax.bar(x + width * i, values, width, label=strategy)
+        ax.bar_label(rects, padding=3, fmt="%.1f", fontsize=6)
+    ax.set_ylabel(
+        "Mean User Force [N]" if metric == "mean_force" else metric
+    )
+    ax.set_title("Mean User Effort by Trajectory and Wrench Forecast")
+    ax.set_xticks(x + 0.4 - width / 2, [n.replace("_", " ") for n in names])
+    ax.legend(loc="upper left")
+    figure.savefig(out, dpi=120)
+    plt.close(figure)
+    print(f"wrote {out}")
+    return out
 
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) < 2 or argv[0] not in ("single", "multiple"):
+    if len(argv) < 2 or argv[0] not in ("single", "multiple", "barchart"):
         print(__doc__)
         return 1
     if argv[0] == "single":
         analyse_single(argv[1])
+    elif argv[0] == "barchart":
+        barchart(argv[1], argv[2] if len(argv) > 2 else "barchart.png")
     else:
         analyse_multiple(argv[1:])
     return 0

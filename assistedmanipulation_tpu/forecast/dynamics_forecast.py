@@ -46,6 +46,8 @@ class ForecastRollout(NamedTuple):
     ee_orientations: jnp.ndarray  # (steps, 4)
     ee_linear_velocities: jnp.ndarray  # (steps, 3)
     ee_angular_velocities: jnp.ndarray  # (steps, 3)
+    ee_linear_accelerations: jnp.ndarray  # (steps, 3)
+    ee_angular_accelerations: jnp.ndarray  # (steps, 3)
     joint_power: jnp.ndarray  # (steps,)
     external_power: jnp.ndarray  # (steps,)
     energy: jnp.ndarray  # (steps,)
@@ -100,18 +102,23 @@ class DynamicsForecast:
             joint_power = h @ v
             external_power = u @ (aux.ee_jacobian.T @ wrench)
 
+            x_next, qdd, _ = fr.integrate_with_wrench_extras(
+                model, kp, kd, x, u, aux, wrench, dt
+            )
+            lin_acc, ang_acc = fr.ee_classical_acceleration(model, q, v, qdd)
             outputs = (
                 q,
                 aux.ee_position,
                 aux.ee_orientation,
                 aux.ee_linear_velocity,
                 aux.ee_angular_velocity,
+                lin_acc,
+                ang_acc,
                 joint_power,
                 external_power,
                 x[fr.ENERGY],
                 wrench,
             )
-            x_next = fr.integrate_with_wrench(model, kp, kd, x, u, aux, wrench, dt)
             return x_next, outputs
 
         steps = jnp.arange(cfg.steps, dtype=x.dtype)

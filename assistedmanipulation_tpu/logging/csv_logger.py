@@ -198,12 +198,20 @@ class DynamicsLogger:
             os.path.join(folder, "end_effector_angular_velocity.csv"),
             ["time", "wx", "wy", "wz"],
         )
+        self._linear_acceleration = CSVWriter(
+            os.path.join(folder, "end_effector_linear_acceleration.csv"),
+            ["time", "ax", "ay", "az"],
+        )
+        self._angular_acceleration = CSVWriter(
+            os.path.join(folder, "end_effector_angular_acceleration.csv"),
+            ["time", "alpha_x", "alpha_y", "alpha_z"],
+        )
         self._power = CSVWriter(os.path.join(folder, "power.csv"), ["time", "power"])
         self._energy = CSVWriter(
             os.path.join(folder, "tank_energy.csv"), ["time", "energy"]
         )
 
-    def log(self, time, x, aux, control, joint_power=0.0):
+    def log(self, time, x, aux, control, joint_power=None):
         import numpy as np
 
         x = np.asarray(x, dtype=np.float64)
@@ -219,6 +227,14 @@ class DynamicsLogger:
         self._angular_velocity.write(
             time, np.asarray(aux.ee_angular_velocity, dtype=np.float64)
         )
+        self._linear_acceleration.write(
+            time, np.asarray(aux.ee_linear_acceleration, dtype=np.float64)
+        )
+        self._angular_acceleration.write(
+            time, np.asarray(aux.ee_angular_acceleration, dtype=np.float64)
+        )
+        if joint_power is None:
+            joint_power = getattr(aux, "joint_power", 0.0)
         self._power.write(time, float(joint_power))
         self._energy.write(time, float(x[30]))
 
@@ -230,6 +246,8 @@ class DynamicsLogger:
             self._orientation,
             self._linear_velocity,
             self._angular_velocity,
+            self._linear_acceleration,
+            self._angular_acceleration,
             self._power,
             self._energy,
         ):
@@ -238,12 +256,48 @@ class DynamicsLogger:
 
 class ForecastLogger:
     """Forecast-horizon CSVs (logger::FrankaRidgebackDynamicsForecast,
-    logging/frankaridgeback.cpp:150-294)."""
+    logging/frankaridgeback.cpp:150-294): the reference's full stream set —
+    joints, EE pose/velocity/acceleration, power, tank energy, wrench.
+
+    Known reference quirk NOT copied (PARITY.md): the reference writes TWO
+    rows per step into power.csv under one 'power' header (joint power then
+    external power, logging/frankaridgeback.cpp:280-283); here they are two
+    columns of one row."""
 
     def __init__(self, folder: str):
+        self._joints = CSVWriter(
+            os.path.join(folder, "joints.csv"),
+            ["time", "x", "y", "yaw"]
+            + [f"arm{i}" for i in range(1, 8)]
+            + ["gripper_x", "gripper_y"],
+        )
         self._position = CSVWriter(
             os.path.join(folder, "end_effector_position.csv"),
             ["update_time", "time", "x", "y", "z"],
+        )
+        self._orientation = CSVWriter(
+            os.path.join(folder, "end_effector_orientation.csv"),
+            ["update_time", "time", "x", "y", "z", "w"],
+        )
+        self._linear_velocity = CSVWriter(
+            os.path.join(folder, "end_effector_linear_velocity.csv"),
+            ["update_time", "time", "vx", "vy", "vz"],
+        )
+        self._angular_velocity = CSVWriter(
+            os.path.join(folder, "end_effector_angular_velocity.csv"),
+            ["update_time", "time", "wx", "wy", "wz"],
+        )
+        self._linear_acceleration = CSVWriter(
+            os.path.join(folder, "end_effector_linear_acceleration.csv"),
+            ["update_time", "time", "ax", "ay", "az"],
+        )
+        self._angular_acceleration = CSVWriter(
+            os.path.join(folder, "end_effector_angular_acceleration.csv"),
+            ["update_time", "time", "alpha_x", "alpha_y", "alpha_z"],
+        )
+        self._power = CSVWriter(
+            os.path.join(folder, "power.csv"),
+            ["update_time", "time", "joint_power", "external_power"],
         )
         self._wrench = CSVWriter(
             os.path.join(folder, "wrench.csv"),
@@ -255,17 +309,47 @@ class ForecastLogger:
         )
 
     def log(self, update_time, time_step, rollout):
+        joints = np.asarray(rollout.joint_positions, dtype=np.float64)
         positions = np.asarray(rollout.ee_positions, dtype=np.float64)
+        orientations = np.asarray(rollout.ee_orientations, dtype=np.float64)
+        lin_vel = np.asarray(rollout.ee_linear_velocities, dtype=np.float64)
+        ang_vel = np.asarray(rollout.ee_angular_velocities, dtype=np.float64)
+        lin_acc = np.asarray(rollout.ee_linear_accelerations, dtype=np.float64)
+        ang_acc = np.asarray(rollout.ee_angular_accelerations, dtype=np.float64)
+        joint_power = np.asarray(rollout.joint_power, dtype=np.float64)
+        external_power = np.asarray(rollout.external_power, dtype=np.float64)
         wrench = np.asarray(rollout.wrench, dtype=np.float64)
         energy = np.asarray(rollout.energy, dtype=np.float64)
         for step in range(positions.shape[0]):
             t = update_time + step * time_step
+            self._joints.write(update_time, joints[step])
             self._position.write(update_time, t, positions[step])
+            q = orientations[step]
+            # Reference logs coeffs() = (x, y, z, w) Eigen order.
+            self._orientation.write(update_time, t, [q[1], q[2], q[3], q[0]])
+            self._linear_velocity.write(update_time, t, lin_vel[step])
+            self._angular_velocity.write(update_time, t, ang_vel[step])
+            self._linear_acceleration.write(update_time, t, lin_acc[step])
+            self._angular_acceleration.write(update_time, t, ang_acc[step])
+            self._power.write(
+                update_time, t, float(joint_power[step]), float(external_power[step])
+            )
             self._wrench.write(update_time, t, wrench[step])
             self._energy.write(update_time, t, float(energy[step]))
 
     def close(self):
-        for writer in (self._position, self._wrench, self._energy):
+        for writer in (
+            self._joints,
+            self._position,
+            self._orientation,
+            self._linear_velocity,
+            self._angular_velocity,
+            self._linear_acceleration,
+            self._angular_acceleration,
+            self._power,
+            self._wrench,
+            self._energy,
+        ):
             writer.close()
 
 

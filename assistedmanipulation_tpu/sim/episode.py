@@ -60,6 +60,9 @@ class EpisodeLogs(NamedTuple):
     update_info: object  # stacked mppi.UpdateInfo (zeros when not fired)
     optimal_control: jax.Array  # (ticks, steps, dof) (zeros when not fired)
     forecast: object  # stacked ForecastRollout (zeros when not fired)
+    ee_linear_acceleration: jax.Array  # (ticks, 3) classical J̇v + Jq̈
+    ee_angular_acceleration: jax.Array  # (ticks, 3)
+    joint_power: jax.Array  # (ticks,) tau . v (raisim_dynamics.cpp:176-179)
 
 
 @dataclasses.dataclass
@@ -211,7 +214,9 @@ class Episode:
                 # Unassisted: zero commands — PD holds the base/gripper, the
                 # arm is gravity-compensated, the human drags the robot.
                 u = jnp.zeros(planner.plant.control_dof, dtype=self.dtype)
-            x_next = fr.integrate_with_wrench(model, kp, kd, x, u, aux, wrench, dt)
+            x_next, qdd, tau = fr.integrate_with_wrench_extras(
+                model, kp, kd, x, u, aux, wrench, dt
+            )
 
             outputs = EpisodeOutputs(
                 ee_position=aux.ee_position,
@@ -223,6 +228,7 @@ class Episode:
             )
             if self.collect_logs:
                 info, optimal_control, forecast_rollout = update_extras
+                aux_full = fr.simulation_extras(model, aux, x, tau, qdd)
                 logs = EpisodeLogs(
                     x=x,
                     pid=pid_state,
@@ -230,6 +236,9 @@ class Episode:
                     update_info=info,
                     optimal_control=optimal_control,
                     forecast=forecast_rollout,
+                    ee_linear_acceleration=aux_full.ee_linear_acceleration,
+                    ee_angular_acceleration=aux_full.ee_angular_acceleration,
+                    joint_power=aux_full.joint_power,
                 )
                 outputs = (outputs, logs)
             return (x_next, planner_state, strategy_state, pid_state, countdown), outputs
