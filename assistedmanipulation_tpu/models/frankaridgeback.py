@@ -136,6 +136,10 @@ class Configuration:
     differential_gain: Optional[np.ndarray] = None
     energy: Optional[float] = 1000.0
     end_effector_frame: str = "panda_grasp_joint"
+    # Dynamics backend selection (SimulatorDynamics::Configuration::Type,
+    # actor_dynamics.cpp:46-86): "analytic" (CRBA/RNEA, hot-path default)
+    # or "lagrangian" (autodiff Euler-Lagrange, models/factory.py).
+    dynamics_type: str = "analytic"
 
     def resolve(self):
         initial = (
@@ -192,10 +196,15 @@ class RobotAux(NamedTuple):
 
 
 @f32_matmuls
-def derive_aux(model: RobotModel, x: jnp.ndarray) -> RobotAux:
+def derive_aux(model: RobotModel, x: jnp.ndarray, backend=None) -> RobotAux:
     q = x[POSITION]
     v = x[VELOCITY]
     fk = kin.forward_kinematics(model, q)
+    mass = (
+        backend.mass_matrix(model, fk, q)
+        if backend is not None
+        else dyn.mass_matrix(model, fk)
+    )
 
     R_ee, p_ee = kin.frame_transform(model, fk, model.end_effector_frame)
     J_lin = kin.point_jacobian(model, fk, p_ee, body=EE_BODY)
@@ -216,7 +225,7 @@ def derive_aux(model: RobotModel, x: jnp.ndarray) -> RobotAux:
 
     return RobotAux(
         fk=fk,
-        mass=dyn.mass_matrix(model, fk),
+        mass=mass,
         ee_position=p_ee,
         ee_orientation=matrix_to_quat(R_ee),
         ee_linear_velocity=J_lin @ v,
@@ -347,7 +356,9 @@ def make_plant(
     )
 
 
-def simulation_extras(model, aux: RobotAux, x, tau, qdd, gravity=(0.0, 0.0, 9.81)):
+def simulation_extras(
+    model, aux: RobotAux, x, tau, qdd, gravity=(0.0, 0.0, 9.81), backend=None
+):
     """Fill the aux acceleration/power fields from a solved step.
 
     joint_power = (tau_pd + S_arm u + h(q, v)) . v — the reference's

@@ -15,7 +15,13 @@ partition + future barrier (src/controller/mppi.cpp:272-307); here the
 
 On a multi-chip TPU slice run it as-is; on a single-chip or CPU machine use
 SCALING_FAKE_DEVICES=8 to validate the sharded program path on virtual
-devices (timings then measure the path, not ICI — label them as such).
+devices. CAVEAT for fake meshes: the N virtual devices share one physical
+machine's cores, so weak scaling there measures core oversubscription, not
+ICI — the meaningful fake-mesh number is the --mode overhead measurement:
+the SAME total rollout work run sharded over the mesh vs unsharded on one
+device, on the same silicon. That ratio isolates the partitioning + psum
+cost the sharding design controls; real-chip weak scaling is bounded by
+(1 - overhead) plus ICI collective time.
 
 Multi-host: launch one process per host with JAX_COORDINATOR/... env and
 pass --multihost (parallel/sharding.initialize_multi_host).
@@ -49,6 +55,14 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--out", default=None, help="write results JSON here")
     parser.add_argument("--multihost", action="store_true")
+    parser.add_argument(
+        "--mode",
+        choices=("weak", "overhead", "both"),
+        default="both",
+        help="weak: rollouts grow with the mesh; overhead: same total work "
+        "sharded vs unsharded on the same silicon (the honest fake-mesh "
+        "metric)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -77,19 +91,14 @@ def main():
     )
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
 
-    results = []
-    for n in sizes:
-        rollouts = args.rollouts_per_device * n - 2
-        mesh = sharding.make_mesh(devices[:n]) if n > 1 else None
+    def timed_rate(rollouts, mesh):
         flagship = build_flagship(
             rollouts=rollouts, steps=args.steps, backend=backend, mesh=mesh
         )
         state = flagship.init(seed=0)
         ctx = flagship.make_ctx()
-
         state, _ = flagship.update(state, flagship.x0, 0.0, ctx)
         jax.block_until_ready(state.optimal_control)
-
         start = time.perf_counter()
         t = 0.0
         for _ in range(args.iters):
@@ -97,23 +106,62 @@ def main():
             state, _ = flagship.update(state, flagship.x0, t, ctx)
         jax.block_until_ready(state.optimal_control)
         elapsed = time.perf_counter() - start
+        return args.iters / elapsed, flagship.planner.rollout_count
 
-        rate = args.iters / elapsed
-        results.append(
-            {
-                "devices": n,
-                "backend": backend,
-                "platform": jax.default_backend(),
-                "rollouts": flagship.planner.rollout_count,
-                "solves_per_s": round(rate, 2),
-                "rollouts_per_s": round(rate * flagship.planner.rollout_count),
-            }
-        )
+    results = {"platform": jax.default_backend(), "backend": backend}
 
-    base = results[0]["solves_per_s"]
-    for row in results:
-        row["weak_scaling_efficiency"] = round(row["solves_per_s"] / base, 3)
-        print(json.dumps(row))
+    if args.mode in ("weak", "both"):
+        weak = []
+        for n in sizes:
+            rollouts = args.rollouts_per_device * n - 2
+            mesh = sharding.make_mesh(devices[:n]) if n > 1 else None
+            rate, rollout_count = timed_rate(rollouts, mesh)
+            weak.append(
+                {
+                    "devices": n,
+                    "rollouts": rollout_count,
+                    "solves_per_s": round(rate, 2),
+                    "rollouts_per_s": round(rate * rollout_count),
+                }
+            )
+        base = weak[0]["solves_per_s"]
+        for row in weak:
+            row["weak_scaling_efficiency"] = round(row["solves_per_s"] / base, 3)
+            print(json.dumps(row))
+        results["weak"] = weak
+        if fake:
+            results["weak_caveat"] = (
+                "virtual devices share one machine's cores; weak scaling "
+                "here measures core oversubscription, not ICI"
+            )
+
+    if args.mode in ("overhead", "both"):
+        # Same TOTAL work, sharded over the mesh vs unsharded on one
+        # device, same silicon: isolates the partition + psum cost.
+        total = args.rollouts_per_device * sizes[-1] - 2
+        overhead = []
+        for n in sizes:
+            # The shard axis must divide the full rollout count (sampled +
+            # the 2 static rollouts), which is rollouts_per_device * max_n.
+            if (total + 2) % n:
+                continue
+            mesh = sharding.make_mesh(devices[:n]) if n > 1 else None
+            rate, rollout_count = timed_rate(total, mesh)
+            overhead.append(
+                {
+                    "devices": n,
+                    "rollouts": rollout_count,
+                    "solves_per_s": round(rate, 2),
+                }
+            )
+        base = overhead[0]["solves_per_s"]
+        for row in overhead:
+            row["sharding_efficiency_same_work"] = round(
+                row["solves_per_s"] / base, 3
+            )
+            print(json.dumps(row))
+        results["overhead"] = overhead
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
