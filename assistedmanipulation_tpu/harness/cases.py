@@ -76,6 +76,18 @@ class BaseTest:
 
         self.actor = Actor(self.configuration.actor, self.configuration.time_step)
         planner = self.actor.planner
+        if planner.configuration.optimal_rollout_mode != "resimulate":
+            # The serving-only "batch" mode publishes a one-update-stale
+            # optimal cost and no per-step optimal states
+            # (mppi.Configuration.optimal_rollout_mode); the harness CSV
+            # tree must record the reference-parity re-rollout
+            # (mppi.cpp:450-479), so the combination is an error rather
+            # than a silent convention.
+            raise ValueError(
+                "harness logging requires optimal_rollout_mode='resimulate'; "
+                f"got {planner.configuration.optimal_rollout_mode!r} "
+                "(the 'batch' fast path is for serving/bench only)"
+            )
         self.mppi_logger = MPPILogger(
             os.path.join(folder, "mppi"),
             planner.rollout_count,

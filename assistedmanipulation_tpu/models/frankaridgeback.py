@@ -40,6 +40,7 @@ from ..mppi import Plant
 from ..ops.energy import energy_tank_step
 from ..ops.rotations import matrix_to_quat
 from . import dynamics as dyn
+from . import factory
 from . import kinematics as kin
 from .kinematics import f32_matmuls
 from .model_data import RobotModel, frankaridgeback_model
@@ -337,9 +338,10 @@ def make_plant(
     model = model or frankaridgeback_model()
     configuration = configuration or Configuration()
     _, kp_np, kd_np = configuration.resolve()
+    backend = factory.create(configuration.dynamics_type)
 
     def derive(x, t, ctx=None):
-        return derive_aux(model, x)
+        return derive_aux(model, x, backend=backend)
 
     def integrate(x, u, aux, t, dt, ctx=None):
         kp = jnp.asarray(kp_np, dtype=x.dtype)
@@ -369,7 +371,11 @@ def simulation_extras(
     default matches the reference world's (0, 0, 9.81)
     (raisim_dynamics.hpp:58-61)."""
     q, v = x[POSITION], x[VELOCITY]
-    h = dyn.nonlinear_effects(model, aux.fk, v, gravity)
+    h = (
+        backend.nonlinear_effects(model, aux.fk, q, v, gravity)
+        if backend is not None
+        else dyn.nonlinear_effects(model, aux.fk, v, gravity)
+    )
     lin_acc, ang_acc = ee_classical_acceleration(model, q, v, qdd)
     return aux._replace(
         ee_linear_acceleration=lin_acc,
@@ -386,15 +392,16 @@ def make_plant_step(configuration: Configuration = None, model: RobotModel = Non
     model = model or frankaridgeback_model()
     configuration = configuration or Configuration()
     _, kp_np, kd_np = configuration.resolve()
+    backend = factory.create(configuration.dynamics_type)
 
     def step(x, u, wrench, dt):
-        aux = derive_aux(model, x)
+        aux = derive_aux(model, x, backend=backend)
         kp = jnp.asarray(kp_np, dtype=x.dtype)
         kd = jnp.asarray(kd_np, dtype=x.dtype)
         x_next, qdd, tau = integrate_with_wrench_extras(
             model, kp, kd, x, u, aux, jnp.asarray(wrench, dtype=x.dtype), dt
         )
-        aux = simulation_extras(model, aux, x, tau, qdd)
+        aux = simulation_extras(model, aux, x, tau, qdd, backend=backend)
         return x_next, aux
 
     return step

@@ -232,10 +232,109 @@ def main():
             cell = f"{ours:.4f}" + (f" (ref {ref[1]:.4f})" if ref else "")
             row.append(cell)
         lines.append("| " + " | ".join(row) + " |")
+    if "unassisted" in strategy_names:
+        assisted_names = [s for s in strategy_names if s != "unassisted"]
+        lines += [
+            "",
+            "## Assistance ratio — assisted / unassisted mean force "
+            "(reference ≈ 0.5, analysis.py:451-458)",
+            "",
+            "| Trajectory | " + " | ".join(assisted_names) + " |",
+            "|---|" + "---|" * len(assisted_names),
+        ]
+        for trajectory_name in trajectory_names:
+            base = results[trajectory_name]["unassisted"]["mean_force"]
+            ref_base = REFERENCE.get(trajectory_name, {}).get("unassisted")
+            row = [trajectory_name]
+            for strategy_name in assisted_names:
+                ours = results[trajectory_name][strategy_name]["mean_force"]
+                ratio = ours / base if base > 1e-9 else float("nan")
+                ref = REFERENCE.get(trajectory_name, {}).get(strategy_name)
+                cell = f"{ratio:.2f}"
+                if ref and ref_base and ref_base[0] > 1e-9:
+                    cell += f" (ref {ref[0] / ref_base[0]:.2f})"
+                row.append(cell)
+            lines.append("| " + " | ".join(row) + " |")
+    lines += _artifact_sections(root)
     lines.append("")
     with open(os.path.join(root, "EXPERIMENTS.md"), "w") as handle:
         handle.write("\n".join(lines))
     print("wrote EXPERIMENTS.md, experiments.json")
+
+
+def _artifact_sections(root):
+    """Render committed measurement artifacts (scaling, realtime, TPU
+    cross-check) into EXPERIMENTS.md so one regeneration carries every
+    recorded number (VERDICT r1 #4, #9, #10)."""
+    lines = []
+
+    path = os.path.join(root, "scaling_cpu.json")
+    if os.path.exists(path):
+        with open(path) as handle:
+            scaling = json.load(handle)
+        lines += [
+            "",
+            "## Scaling (8 virtual CPU devices — ICI-free upper bound on "
+            "sharding overhead; see scaling_cpu.json)",
+            "",
+            f"Backend: {scaling.get('backend')}. "
+            f"Caveat: {scaling.get('weak_caveat', '')}",
+            "",
+            "| devices | rollouts | solves/s | rollouts/s | weak-scaling eff |",
+            "|---|---|---|---|---|",
+        ]
+        for row in scaling.get("weak", []):
+            lines.append(
+                f"| {row['devices']} | {row['rollouts']} | "
+                f"{row['solves_per_s']} | {row['rollouts_per_s']} | "
+                f"{row['weak_scaling_efficiency']:.3f} |"
+            )
+        overhead = scaling.get("overhead", [])
+        if overhead:
+            lines += [
+                "",
+                "Fixed-work sharding overhead (same 2048 rollouts, split "
+                "across devices):",
+                "",
+                "| devices | solves/s | efficiency vs 1 device |",
+                "|---|---|---|",
+            ]
+            for row in overhead:
+                lines.append(
+                    f"| {row['devices']} | {row['solves_per_s']} | "
+                    f"{row['sharding_efficiency_same_work']:.3f} |"
+                )
+
+    path = os.path.join(root, "TPU_CROSSCHECK.json")
+    if os.path.exists(path):
+        with open(path) as handle:
+            cc = json.load(handle)
+        lines += [
+            "",
+            "## Production Pallas kernel numeric cross-check (real TPU; "
+            "TPU_CROSSCHECK.json)",
+            "",
+            "```json",
+            json.dumps(cc, indent=1),
+            "```",
+        ]
+
+    path = os.path.join(root, "realtime.json")
+    if os.path.exists(path):
+        with open(path) as handle:
+            rt = json.load(handle)
+        lines += [
+            "",
+            "## Realtime budget (real TPU, 20 Hz control loop, 50 ms slot; "
+            "realtime.json)",
+            "",
+            f"p50 {rt.get('p50_ms')} ms · p90 {rt.get('p90_ms')} ms · "
+            f"p99 {rt.get('p99_ms')} ms · max {rt.get('max_ms')} ms over "
+            f"{rt.get('updates')} updates "
+            f"({'PASS' if rt.get('ok') else 'FAIL'} vs 50 ms budget).",
+        ]
+
+    return lines
 
 
 if __name__ == "__main__":

@@ -75,3 +75,17 @@ def test_episode_engine_with_safety_filter(tmp_path):
         skip_header=1,
     )
     assert np.isfinite(data).all()
+
+
+def test_harness_rejects_batch_optimal_mode(tmp_path):
+    """The serving-only optimal_rollout_mode='batch' publishes a stale
+    optimal cost and no optimal states; the harness must refuse it rather
+    than silently log them (cases.py guard)."""
+    import pytest
+
+    from assistedmanipulation_tpu.harness import cases
+
+    patch = _patch(0.1)
+    patch["actor"]["mppi"]["optimal_rollout_mode"] = "batch"
+    with pytest.raises(ValueError, match="resimulate"):
+        cases.CircleTest(str(tmp_path), patch=patch)
