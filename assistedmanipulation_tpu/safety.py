@@ -143,11 +143,16 @@ def make_safety_filter(
         mass = dyn.mass_matrix(model, fk)
 
         kd = jnp.asarray(kd_np, dtype=dtype)
-        K = mass + dt * jnp.diag(kd)
+        # Same implicit-PD + implicitly-regularized Coulomb friction solve as
+        # the plant (models/dynamics.forward_dynamics with
+        # friction_coefficients): (M + dt diag(kd + c)) qdd = tau - c v, so
+        # the affine model stays exact against integrate_with_wrench.
+        c = dyn.friction_coefficients(model, v)
+        K = mass + dt * jnp.diag(kd + c)
         L = linalg.cholesky_factor(K)
         B = jnp.asarray(B_np, dtype=dtype)
         G = linalg.solve_matrix(L, B)  # (12, 12)
-        d = linalg.solve_factored(L, -kd * v)  # (12,)
+        d = linalg.solve_factored(L, -(kd + c) * v)  # (12,)
 
         rows, lows, highs = [], [], []
 
