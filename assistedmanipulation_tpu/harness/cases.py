@@ -76,7 +76,13 @@ class BaseTest:
 
         self.actor = Actor(self.configuration.actor, self.configuration.time_step)
         planner = self.actor.planner
-        if planner.configuration.optimal_rollout_mode != "resimulate":
+        if (
+            planner.configuration.optimal_rollout_mode != "resimulate"
+            and planner.filter_fn is None
+        ):
+            # With a safety filter attached, mppi ignores "batch" and
+            # resimulates anyway (_update_impl), so the CSV tree stays
+            # valid — only the unfiltered batch mode is refused.
             # The serving-only "batch" mode publishes a one-update-stale
             # optimal cost and no per-step optimal states
             # (mppi.Configuration.optimal_rollout_mode); the harness CSV

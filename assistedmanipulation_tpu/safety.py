@@ -9,14 +9,19 @@ intended constraints from safety.hpp:15-40 (joint position / velocity /
 acceleration boxes + reach sphere) become affine constraints on the control,
 solved by the batched on-device ADMM QP (ops/admm_qp.py).
 
-Constraint construction. The plant's implicit-PD forward dynamics
-(models/dynamics.py, raisim_dynamics.cpp:206-238 semantics) make the next-step
-acceleration AFFINE in the control:
+Constraint construction. The plant's implicit-PD forward dynamics with
+implicitly-regularized Coulomb friction (models/dynamics.forward_dynamics,
+raisim_dynamics.cpp:206-238 semantics) make the next-step acceleration AFFINE
+in the control. With c = c(v) the smoothed per-joint friction coefficients
+(friction torque -c v around the current velocity):
 
-    (M + dt Kd) qdd = Kd (v_cmd(u) - v) + S_arm u    =>    qdd = G u + d
+    (M + dt diag(kd + c)) qdd = Kd (v_cmd(u) - v) + S_arm u - c v
+        =>    qdd = G u + d
 
-with G = (M + dt Kd)^{-1} B, B = diag(kd)[:, :3] on the base block + identity
-on the arm block, d = -(M + dt Kd)^{-1} Kd v. Semi-implicit Euler then gives
+with K = M + dt diag(kd + c), G = K^{-1} B, B = diag(kd)[:, :3] on the base
+block + identity on the arm block, d = -K^{-1} (kd + c) v — exactly the solve
+the plant performs, so the affine model tracks integrate_with_wrench without
+approximation error. Semi-implicit Euler then gives
 
     v+  = v + dt (G u + d)                 (velocity rows:      dt G)
     q+  = q + dt v+                        (position rows:      dt^2 G)

@@ -154,6 +154,11 @@ class Actor:
             configuration.mppi, plant, filter_fn=filter_fn
         )
         self.plant_step = fr.make_plant_step(configuration.dynamics, self.model)
+        # Backend for the actor's own aux queries, matching plant_step's
+        # (the SimulatorDynamics type seam, actor_dynamics.cpp:46-86).
+        self._backend = fr.factory.create(
+            configuration.dynamics.dynamics_type
+        )
 
         # Forecast (actor.cpp:55-80).
         if configuration.forecast is not None and configuration.forecast.enabled:
@@ -193,7 +198,7 @@ class Actor:
         )
         self.ctx = None
         self.control = jnp.zeros(12, dtype=self.dtype)
-        self.aux = fr.derive_aux(self.model, self.x)
+        self.aux = fr.derive_aux(self.model, self.x, backend=self._backend)
         self.last_forecast_rollout = None
         self.last_update_info = None
         self._trajectory_countdown = 0  # update on first tick (actor.cpp:147)

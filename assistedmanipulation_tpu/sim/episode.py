@@ -105,6 +105,12 @@ class Episode:
         self.model = frankaridgeback_model()
         self.robot_configuration = robot_configuration or fr.Configuration()
         _, self._kp, self._kd = self.robot_configuration.resolve()
+        # The dynamics-backend seam the reference's SimulatorDynamics type
+        # selects (actor_dynamics.cpp:46-86): the engine's own plant
+        # quantities honor dynamics_type, not just make_plant's rollouts.
+        self._backend = fr.factory.create(
+            self.robot_configuration.dynamics_type
+        )
 
         self.objective = objective
         plant = fr.make_plant(objective, self.robot_configuration, self.model)
@@ -167,7 +173,7 @@ class Episode:
             x, planner_state, strategy_state, pid_state, countdown = carry
             t = k.astype(self.dtype) * dt
 
-            aux = fr.derive_aux(model, x)
+            aux = fr.derive_aux(model, x, backend=self._backend)
 
             # Human model wrench (external_wrench.cpp:185-231).
             reference = trajectory.position(t).astype(self.dtype)
@@ -228,7 +234,9 @@ class Episode:
             )
             if self.collect_logs:
                 info, optimal_control, forecast_rollout = update_extras
-                aux_full = fr.simulation_extras(model, aux, x, tau, qdd)
+                aux_full = fr.simulation_extras(
+                    model, aux, x, tau, qdd, backend=self._backend
+                )
                 logs = EpisodeLogs(
                     x=x,
                     pid=pid_state,
