@@ -470,6 +470,27 @@ class PoseTest(ExternalWrenchTest):
     }
 
 
+@register_test("lagrangian")
+class LagrangianTest(ExternalWrenchTest):
+    """The alternative-dynamics-backend case — the reference's runnable
+    pinocchio scenario (test/case/pinocchio.hpp:11-60): the PLANT steps on
+    the autodiff Euler-Lagrange backend (models/lagrangian.py) while the
+    MPPI rollouts keep the analytic CRBA/RNEA kernel — the mixed
+    plant/rollout configuration ActorDynamics::create selects
+    (actor_dynamics.hpp:146-213). Same circle scenario as the experiment
+    matrix so the CSV trees are directly comparable across backends."""
+
+    DEFAULT_PATCH = {
+        "position": {"type": "circle"},
+        "actor": {
+            "dynamics": {
+                "dynamics_type": "lagrangian",
+                "rollout_dynamics_type": "analytic",
+            }
+        },
+    }
+
+
 @register_test("reach")
 class ReachTest(BaseTest):
     """TrackPoint objective patch over base (reach.hpp:48-67)."""

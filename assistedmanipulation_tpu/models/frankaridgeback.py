@@ -141,6 +141,12 @@ class Configuration:
     # actor_dynamics.cpp:46-86): "analytic" (CRBA/RNEA, hot-path default)
     # or "lagrangian" (autodiff Euler-Lagrange, models/factory.py).
     dynamics_type: str = "analytic"
+    # Backend for the MPPI rollout plant (make_plant) when it should differ
+    # from the simulator's — the reference's mixed plant/rollout
+    # configuration (the pinocchio case runs the simulator on the alternate
+    # dynamics while the controller keeps its own, pinocchio.hpp:11-60,
+    # actor_dynamics.hpp:146-213). None = same as dynamics_type.
+    rollout_dynamics_type: Optional[str] = None
 
     def resolve(self):
         initial = (
@@ -338,7 +344,9 @@ def make_plant(
     model = model or frankaridgeback_model()
     configuration = configuration or Configuration()
     _, kp_np, kd_np = configuration.resolve()
-    backend = factory.create(configuration.dynamics_type)
+    backend = factory.create(
+        configuration.rollout_dynamics_type or configuration.dynamics_type
+    )
 
     def derive(x, t, ctx=None):
         return derive_aux(model, x, backend=backend)

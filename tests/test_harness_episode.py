@@ -89,3 +89,22 @@ def test_harness_rejects_batch_optimal_mode(tmp_path):
     patch["actor"]["mppi"]["optimal_rollout_mode"] = "batch"
     with pytest.raises(ValueError, match="resimulate"):
         cases.CircleTest(str(tmp_path), patch=patch)
+
+
+def test_lagrangian_case_mixed_backends(tmp_path):
+    """The registered alternative-backend case (the reference's pinocchio
+    scenario, pinocchio.hpp:11-60): plant on the autodiff Euler-Lagrange
+    backend, MPPI rollouts on the analytic kernel. The episode runs, the
+    CSV tree is written, and the trajectory stays finite."""
+    from assistedmanipulation_tpu.harness import cases  # registers tests
+
+    assert "lagrangian" in TestSuite.names()
+    ok = TestSuite.run("lagrangian", str(tmp_path), patch=_patch(0.2))
+    assert ok
+    (run_folder,) = [entry.path for entry in os.scandir(tmp_path)]
+    data = np.genfromtxt(
+        os.path.join(run_folder, "dynamics", "joints.csv"),
+        delimiter=",",
+        skip_header=1,
+    )
+    assert np.isfinite(data).all()
