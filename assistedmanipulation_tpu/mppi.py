@@ -97,6 +97,14 @@ class Configuration:
     smoothing: Optional[Smoothing] = None
     # TPU-specific additions (no reference equivalent):
     dtype: str = "float32"
+    # PRNG implementation for the rollout noise. "threefry2x32" (default)
+    # is counter-based and bit-identical under any sharding/partitioning —
+    # the right tool for cross-placement equality tests. "rbg" lowers to
+    # the TPU's hardware RngBitGenerator: ~7x cheaper per update at 10k x
+    # 50 x 12 draws (the threefry+transform fusion was 22% of the solve on
+    # v5e), same N(0, covariance) distribution — reference parity is at the
+    # distribution level anyway (mppi.cpp:250-261 uses serial mt19937).
+    rng_impl: str = "threefry2x32"
     # 36-thread block partitioning (mppi.cpp:277) has no TPU analog; the
     # rollout axis shards over the mesh axis named here instead.
     rollout_axis: str = "rollouts"
@@ -255,6 +263,17 @@ class Planner:
         self._transform = jnp.asarray(
             covariance_transform(covariance), dtype=self.dtype
         )
+        # Diagonal covariances (the robot default, base.hpp:79-94) need no
+        # matmul: scale the standard normals elementwise. Saves the
+        # (R*steps, dof) x (dof, dof) dot that XLA otherwise fuses into the
+        # sampling hot path.
+        if np.count_nonzero(covariance - np.diag(np.diag(covariance))) == 0:
+            self._diag_scale = jnp.asarray(
+                np.sqrt(np.diag(covariance)), dtype=self.dtype
+            )
+        else:
+            self._diag_scale = None
+        self._rng_impl = cfg.rng_impl
         self._control_min = jnp.asarray(cfg.control_min, dtype=self.dtype)
         self._control_max = jnp.asarray(cfg.control_max, dtype=self.dtype)
         self._control_default = (
@@ -294,7 +313,12 @@ class Planner:
             last_update_time=jnp.asarray(0.0, dtype=self.dtype),
             sg_buffer=sg_buffer,
             sg_time=jnp.asarray(jnp.nan, dtype=self.dtype),
-            rng=jax.random.PRNGKey(seed),
+            # Stored as raw key data (uint32) so the state stays a plain
+            # array pytree (checkpoint.py serializes with np.asarray);
+            # wrapped back to a typed key at use (_sample).
+            rng=jax.random.key_data(
+                jax.random.key(seed, impl=self._rng_impl)
+            ),
             update_count=jnp.asarray(0, dtype=jnp.int32),
             optimal_cost=jnp.asarray(0.0, dtype=self.dtype),
             update_duration=jnp.asarray(0.0, dtype=self.dtype),
@@ -356,44 +380,64 @@ class Planner:
         # (mppi.cpp:219-231): lexicographic over (saturations, smooth) so the
         # ordering matches the reference's float64 composed costs. NaN costs
         # sort last (NaN-as-infinity is the intended comparator behavior).
-        sampled = state.costs[STATIC_ROLLOUTS:]
-        V = jnp.where(jnp.isnan(sampled[:, 0]), jnp.inf, sampled[:, 0])
-        S = jnp.where(jnp.isnan(sampled[:, 1]), jnp.inf, sampled[:, 1])
-        order = jnp.lexsort((S, V))
-        rank = jnp.argsort(order, stable=True)  # rank[i] = position of rollout i
-        keep_mask = rank < self.keep_best  # (R-2,)
-
-        rng, key = jax.random.split(state.rng)
-        fresh = (
-            jax.random.normal(key, (R - STATIC_ROLLOUTS, steps, dof), self.dtype)
-            @ self._transform.T
+        # The sort runs over the FULL batch (static rollouts pushed behind
+        # every sampled rollout by the index tiebreak key) so the keep mask,
+        # the where-selects and the fresh draw below all stay full-width —
+        # no (R-2)-row slices + concatenates on the 24 MB noise tensor.
+        row = jnp.arange(R)
+        is_static = row < STATIC_ROLLOUTS
+        V = jnp.where(
+            jnp.isnan(state.costs[:, 0]) | is_static, jnp.inf, state.costs[:, 0]
         )
+        S = jnp.where(
+            jnp.isnan(state.costs[:, 1]) | is_static, jnp.inf, state.costs[:, 1]
+        )
+        # Tiebreak: sampled rollouts in index order first, statics last —
+        # identical ranks to sorting costs[2:] alone.
+        tiebreak = jnp.where(is_static, R + row, row)
+        order = jnp.lexsort((tiebreak, S, V))
+        rank = jnp.argsort(order, stable=True)  # rank[i] = position of rollout i
+        keep_mask = rank < self.keep_best  # (R,); never True for statics
 
-        old = state.noise[STATIC_ROLLOUTS:]
+        rng_typed, key = jax.random.split(
+            jax.random.wrap_key_data(state.rng, impl=self._rng_impl)
+        )
+        rng = jax.random.key_data(rng_typed)
+        fresh = jax.random.normal(key, (R, steps, dof), self.dtype)
+        if self._diag_scale is not None:
+            fresh = fresh * self._diag_scale
+        else:
+            fresh = fresh @ self._transform.T
+
         # Kept rollouts: shift noise left, fresh tail (mppi.cpp:242-253).
         col = jnp.arange(steps)
         shifted_old = jnp.take(
-            old, jnp.minimum(col + shift_by, steps - 1), axis=1
+            state.noise, jnp.minimum(col + shift_by, steps - 1), axis=1
         )
         kept = jnp.where(
             (col < steps - shift_by)[None, :, None], shifted_old, fresh
         )
-        kept = jnp.where(do_shift, kept, old)
+        kept = jnp.where(do_shift, kept, state.noise)
         sampled_noise = jnp.where(keep_mask[:, None, None], kept, fresh)
         if noise_override is not None:
             # Parity-test hook (see Planner.update): recorded noise replaces
             # the engine's sampling; elite keep/shift already happened on the
             # recorder's side.
-            sampled_noise = noise_override
+            sampled_noise = jnp.concatenate(
+                [sampled_noise[:STATIC_ROLLOUTS], noise_override], axis=0
+            )
 
-        noise = jnp.concatenate(
-            [
-                jnp.zeros((1, steps, dof), self.dtype),  # zero rollout
-                # Negated previous optimal control (pre-shift), mppi.cpp:269.
+        # Static rollouts: zero noise, and the negated previous optimal
+        # (pre-shift, mppi.cpp:264-269) — selected in place so the whole
+        # noise assembly is one fused elementwise pass over the batch.
+        noise = jnp.where(
+            (row == 0)[:, None, None],
+            jnp.zeros((), self.dtype),
+            jnp.where(
+                (row == 1)[:, None, None],
                 -state.optimal_control[None],
                 sampled_noise,
-            ],
-            axis=0,
+            ),
         )
         return noise, optimal_shifted, shift_by, last_shift_time, rng
 

@@ -54,9 +54,16 @@ def default_mppi_configuration(
     rollouts: int,
     steps: int,
     optimal_rollout_mode: str = "batch",
+    rng_impl: str = "rbg",
 ) -> mppi_module.Configuration:
     """The benchmark/serving MPPI configuration: reference defaults
-    (base.hpp:69-101) at production rollout counts."""
+    (base.hpp:69-101) at production rollout counts.
+
+    ``rng_impl`` defaults to the TPU hardware RngBitGenerator ("rbg") —
+    the serving choice (mppi.Configuration.rng_impl). Cross-placement
+    exact-equality checks (sharding tests, dryrun_multichip) pass
+    "threefry2x32", whose counter-based bits are partitioning-invariant;
+    rbg bits may legally differ between shardings."""
     return mppi_module.Configuration(
         rollouts=rollouts,
         keep_best_rollouts=max(1, rollouts // 5),
@@ -71,6 +78,7 @@ def default_mppi_configuration(
         smoothing=mppi_module.Smoothing(window=10, order=1),
         dtype="float32",
         optimal_rollout_mode=optimal_rollout_mode,
+        rng_impl=rng_impl,
     )
 
 
@@ -99,6 +107,7 @@ def build_flagship(
     optimal_rollout_mode: str = "batch",
     interpret: Optional[bool] = None,
     sublanes: Optional[int] = None,
+    rng_impl: str = "rbg",
 ) -> Flagship:
     """Compose the flagship planner.
 
@@ -115,7 +124,7 @@ def build_flagship(
     from ..objectives.assisted_manipulation import ForecastContext
 
     configuration = default_mppi_configuration(
-        rollouts, steps, optimal_rollout_mode
+        rollouts, steps, optimal_rollout_mode, rng_impl=rng_impl
     )
     rollout_count = configuration.rollout_count
 
