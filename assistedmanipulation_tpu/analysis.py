@@ -420,6 +420,99 @@ def analyse_multiple(folders, plot: bool = True) -> list:
     return rows
 
 
+def animate(folder: str, out: str = None, fps: int = 20, stride: int = 10):
+    """Scene animation from a run's CSV tree — the live-observability analog
+    of the reference's RaiSim Unity rendering (simulator.cpp:37: every run
+    launched a visualizer server; the target sphere + applied-force arrow
+    visuals are external_wrench.cpp:160-166, trajectory playback visuals
+    trajectory.cpp:127-141). Headless here: a matplotlib 3-D animation of
+
+    - the full reference trajectory (the human's intent, faint),
+    - the end-effector trace up to the current frame,
+    - the current reference target marker,
+    - the applied human-force arrow at the end effector (scaled),
+    - the mobile base ground position from the joint states.
+
+    Writes a GIF (PillowWriter — no ffmpeg dependency) next to the run
+    folder unless ``out`` is given. ``stride`` subsamples sim ticks into
+    frames (10 -> one frame per 50 ms at the 5 ms sim step)."""
+    run = Run.load(folder)
+    if run.ee_position is None:
+        raise FileNotFoundError(
+            f"{folder} has no dynamics/end_effector_position.csv"
+        )
+    plt = _plt()
+    from matplotlib import animation
+
+    time = run.ee_position["time"]
+    ee = np.stack([run.ee_position[k] for k in ("x", "y", "z")], axis=-1)
+    reference = force = None
+    if run.pid_reference is not None:
+        reference = np.stack(
+            [run.pid_reference[f"reference{i}"] for i in range(3)], axis=-1
+        )
+    if run.pid_control is not None:
+        cols = [k for k in run.pid_control if k.startswith("control")]
+        force = np.stack(
+            [run.pid_control[k] for k in cols[:3]], axis=-1
+        )
+    base = None
+    if run.joints is not None:
+        base = np.stack(
+            [run.joints["x"], run.joints["y"], np.zeros_like(run.joints["x"])],
+            axis=-1,
+        )
+
+    frames = np.arange(0, len(time), max(1, stride))
+    figure = plt.figure(figsize=(6, 6))
+    ax = figure.add_subplot(projection="3d")
+
+    # Fixed bounds over the whole run so the camera doesn't swim.
+    points = [ee] + [p for p in (reference, base) if p is not None]
+    stacked = np.concatenate(points, axis=0)
+    low, high = stacked.min(axis=0), stacked.max(axis=0)
+    pad = 0.15 * np.maximum(high - low, 0.2)
+    low, high = low - pad, high + pad
+    force_scale = 0.0
+    if force is not None:
+        peak = np.linalg.norm(force, axis=-1).max()
+        # Arrow length: peak force spans ~40% of the scene.
+        force_scale = 0.4 * float((high - low).max()) / max(peak, 1e-9)
+
+    def draw(k):
+        ax.cla()
+        i = frames[k]
+        if reference is not None:
+            ax.plot(*reference.T, color="0.8", lw=1.0, label="reference")
+            ax.scatter(*reference[i], color="tab:green", s=60, marker="o",
+                       label="target")
+        ax.plot(*ee[: i + 1].T, color="tab:blue", lw=1.5, label="end effector")
+        ax.scatter(*ee[i], color="tab:blue", s=40)
+        if base is not None:
+            ax.scatter(*base[i], color="tab:gray", s=80, marker="s",
+                       label="base")
+            ax.plot(*np.stack([base[i], ee[i]]).T, color="0.6", lw=0.8)
+        if force is not None:
+            vector = force[i] * force_scale
+            ax.quiver(*ee[i], *vector, color="tab:red", lw=2,
+                      label="human force")
+        ax.set_xlim(low[0], high[0])
+        ax.set_ylim(low[1], high[1])
+        ax.set_zlim(low[2], high[2])
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+        ax.set_zlabel("z [m]")
+        stem = os.path.basename(os.path.normpath(folder))
+        ax.set_title(f"{stem}  t = {time[i]:.2f} s")
+        ax.legend(loc="upper left", fontsize=8)
+
+    mov = animation.FuncAnimation(figure, draw, frames=len(frames))
+    out = out or os.path.join(folder, "scene.gif")
+    mov.save(out, writer=animation.PillowWriter(fps=fps), dpi=70)
+    plt.close(figure)
+    return out
+
+
 def barchart(experiments_json: str, out: str, metric: str = "mean_force"):
     """Mean-user-force (or RMSE) bar chart by trajectory x strategy
     (analysis.py:439-474) — from measured experiments.json, not the
@@ -451,13 +544,17 @@ def barchart(experiments_json: str, out: str, metric: str = "mean_force"):
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) < 2 or argv[0] not in ("single", "multiple", "barchart"):
+    if len(argv) < 2 or argv[0] not in (
+        "single", "multiple", "barchart", "animate"
+    ):
         print(__doc__)
         return 1
     if argv[0] == "single":
         analyse_single(argv[1])
     elif argv[0] == "barchart":
         barchart(argv[1], argv[2] if len(argv) > 2 else "barchart.png")
+    elif argv[0] == "animate":
+        print(animate(argv[1], argv[2] if len(argv) > 2 else None))
     else:
         analyse_multiple(argv[1:])
     return 0

@@ -91,19 +91,26 @@ def main():
     )
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
 
+    import jax.numpy as jnp
+
     def timed_rate(rollouts, mesh):
         flagship = build_flagship(
             rollouts=rollouts, steps=args.steps, backend=backend, mesh=mesh
         )
         state = flagship.init(seed=0)
         ctx = flagship.make_ctx()
+        # Device-resident tick times (bench.py): a Python-float time would
+        # device_put a scalar per iteration and serialize dispatch.
+        times = [
+            jnp.asarray(0.01 * (i + 1), jnp.float32)
+            for i in range(args.iters)
+        ]
+        jax.block_until_ready(times[-1])
         state, _ = flagship.update(state, flagship.x0, 0.0, ctx)
         jax.block_until_ready(state.optimal_control)
         start = time.perf_counter()
-        t = 0.0
-        for _ in range(args.iters):
-            t += 0.01
-            state, _ = flagship.update(state, flagship.x0, t, ctx)
+        for i in range(args.iters):
+            state, _ = flagship.update(state, flagship.x0, times[i], ctx)
         jax.block_until_ready(state.optimal_control)
         elapsed = time.perf_counter() - start
         return args.iters / elapsed, flagship.planner.rollout_count

@@ -1,0 +1,72 @@
+"""Analysis-layer tests: the scene animation (the reference's RaiSim Unity
+live-rendering analog, simulator.cpp:37 / external_wrench.cpp:160-166,
+rebuilt as a headless matplotlib animation from a run's CSV tree)."""
+
+import os
+
+import numpy as np
+
+from assistedmanipulation_tpu import analysis
+
+
+def _write_csv(path, header, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as handle:
+        handle.write(",".join(header) + "\n")
+        for row in rows:
+            handle.write(",".join(f"{v:.6f}" for v in row) + "\n")
+
+
+def _synthetic_run(folder):
+    """A miniature circle run: 40 ticks of EE positions chasing a circular
+    reference, with a base trace and a PID force toward the reference."""
+    n = 40
+    t = np.arange(n) * 0.005
+    angle = 2 * np.pi * t / t[-1]
+    reference = np.stack(
+        [0.5 + 0.2 * np.cos(angle), 0.2 * np.sin(angle), 0.6 * np.ones(n)],
+        axis=-1,
+    )
+    ee = reference + 0.02 * np.sin(5 * angle)[:, None]
+    force = 10.0 * (reference - ee)
+    _write_csv(
+        os.path.join(folder, "dynamics", "end_effector_position.csv"),
+        ["time", "x", "y", "z"],
+        np.concatenate([t[:, None], ee], axis=-1),
+    )
+    joints = np.zeros((n, 13))
+    joints[:, 0] = t
+    joints[:, 1] = 0.1 * t  # base x
+    header = ["time", "x", "y", "yaw"] + [f"arm{i}" for i in range(7)] + [
+        "gripper0", "gripper1"
+    ]
+    _write_csv(os.path.join(folder, "dynamics", "joints.csv"), header, joints)
+    _write_csv(
+        os.path.join(folder, "pid", "force", "reference.csv"),
+        ["time", "reference0", "reference1", "reference2"],
+        np.concatenate([t[:, None], reference], axis=-1),
+    )
+    _write_csv(
+        os.path.join(folder, "pid", "force", "control.csv"),
+        ["time", "control0", "control1", "control2"],
+        np.concatenate([t[:, None], force], axis=-1),
+    )
+
+
+def test_animate_writes_gif(tmp_path):
+    folder = str(tmp_path / "circle_test")
+    _synthetic_run(folder)
+    out = analysis.animate(folder, stride=8, fps=5)
+    assert os.path.exists(out)
+    assert os.path.getsize(out) > 1000
+    from PIL import Image
+
+    image = Image.open(out)
+    assert image.n_frames == 5  # 40 ticks / stride 8
+
+
+def test_animate_requires_ee_positions(tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        analysis.animate(str(tmp_path))
