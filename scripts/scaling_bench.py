@@ -53,6 +53,8 @@ def main():
     parser.add_argument("--rollouts-per-device", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="overhead mode: median-of-N runs per size")
     parser.add_argument("--out", default=None, help="write results JSON here")
     parser.add_argument("--multihost", action="store_true")
     parser.add_argument(
@@ -92,6 +94,42 @@ def main():
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
 
     import jax.numpy as jnp
+
+    def collective_stats(rollouts, mesh):
+        """Compile-level collective footprint of one sharded update: op
+        counts and payload bytes from the optimized HLO. Unlike wall-clock
+        on a shared-core virtual mesh, this is deterministic — and it is
+        the quantity the >=80% multi-chip target actually depends on: the
+        payload that must cross ICI per solve vs the per-device compute."""
+        flagship = build_flagship(
+            rollouts=rollouts, steps=args.steps, backend=backend, mesh=mesh
+        )
+        state = flagship.init(seed=0)
+        ctx = flagship.make_ctx()
+        lowered = jax.jit(
+            lambda s, x, t: flagship.update(s, x, t, ctx)
+        ).lower(state, flagship.x0, jnp.asarray(0.0, jnp.float32))
+        hlo = lowered.compile().as_text()
+        import re
+
+        counts = {}
+        payload = 0
+        for line in hlo.splitlines():
+            match = re.search(
+                r"=\s+((?:\w+\[[^\]]*\][^ ]*|\([^)]*\)))\s+"
+                r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+                r"all-to-all)\(", line)
+            if not match:
+                continue
+            shapes, op = match.groups()
+            counts[op] = counts.get(op, 0) + 1
+            for dims in re.findall(r"\w+\[([\d,]*)\]", shapes):
+                n = 1
+                for d in dims.split(","):
+                    if d:
+                        n *= int(d)
+                payload += 4 * n  # f32/s32 elements
+        return {"ops": counts, "payload_bytes": payload}
 
     def timed_rate(rollouts, mesh):
         flagship = build_flagship(
@@ -145,6 +183,9 @@ def main():
     if args.mode in ("overhead", "both"):
         # Same TOTAL work, sharded over the mesh vs unsharded on one
         # device, same silicon: isolates the partition + psum cost.
+        # Median of --repeats runs per size: on a fake mesh the virtual
+        # devices contend for one machine's cores and XLA:CPU's thread
+        # scheduling adds 2x-level noise per run.
         total = args.rollouts_per_device * sizes[-1] - 2
         overhead = []
         for n in sizes:
@@ -153,14 +194,21 @@ def main():
             if (total + 2) % n:
                 continue
             mesh = sharding.make_mesh(devices[:n]) if n > 1 else None
-            rate, rollout_count = timed_rate(total, mesh)
-            overhead.append(
-                {
-                    "devices": n,
-                    "rollouts": rollout_count,
-                    "solves_per_s": round(rate, 2),
-                }
-            )
+            rates = []
+            for _ in range(args.repeats):
+                rate, rollout_count = timed_rate(total, mesh)
+                rates.append(rate)
+            rates.sort()
+            rate = rates[len(rates) // 2]
+            row = {
+                "devices": n,
+                "rollouts": rollout_count,
+                "solves_per_s": round(rate, 2),
+                "solves_per_s_runs": [round(r, 2) for r in rates],
+            }
+            if n > 1:
+                row["collectives"] = collective_stats(total, mesh)
+            overhead.append(row)
         base = overhead[0]["solves_per_s"]
         for row in overhead:
             row["sharding_efficiency_same_work"] = round(
