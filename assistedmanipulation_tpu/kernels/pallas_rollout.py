@@ -228,6 +228,212 @@ def make_pallas_rollout_fn(
     return fn
 
 
+def lane_noise_assemble(
+    old,  # (G, S, 12, SUB, LANES) previous noise in lane layout
+    fresh,  # same shape: new N(0, cov) draws
+    keep_mask,  # (R,) bool over logical rollouts (False for statics/pad)
+    shift_by,  # traced int32 scalar
+    do_shift,  # traced bool scalar
+    optimal,  # (S, 12) previous optimal control (pre-shift)
+):
+    """The planner's noise assembly (mppi.Planner._sample semantics:
+    elite keep with left-shifted history + fresh tail, mppi.cpp:242-253;
+    zero and negated-optimal static rollouts, mppi.cpp:264-269) applied
+    directly in the kernel's lane layout — logical rollout r maps to
+    (g, a, b) = (r // (SUB*LANES), (r % (SUB*LANES)) // LANES, r % LANES),
+    the same relayout make_pallas_rollout_fn's host-side reshape performs.
+    Assembling here means the 24 MB noise tensor never exists in logical
+    layout at all: no transpose/pad/copy chain feeding the kernel.
+
+    Pure jnp; exact-equality-tested against the logical-layout assembly in
+    tests/test_pallas_rollout.py (same fresh draws injected both ways)."""
+    G, S, D, sub, lanes = old.shape
+    col = jnp.arange(S)
+    shifted_old = jnp.take(old, jnp.minimum(col + shift_by, S - 1), axis=1)
+    kept = jnp.where(
+        (col < S - shift_by)[None, :, None, None, None], shifted_old, fresh
+    )
+    kept = jnp.where(do_shift, kept, old)
+
+    pad = G * sub * lanes - keep_mask.shape[0]
+    if pad:
+        keep_mask = jnp.concatenate(
+            [keep_mask, jnp.zeros((pad,), dtype=bool)]
+        )
+    keep_lanes = keep_mask.reshape(G, 1, 1, sub, lanes)
+    sampled = jnp.where(keep_lanes, kept, fresh)
+
+    # Static rollouts 0 (zero noise) and 1 (negated pre-shift optimal) live
+    # at (g=0, a=0, b=0) and (g=0, a=0, b=1).
+    row = (
+        (jnp.arange(G) * sub * lanes)[:, None, None]
+        + (jnp.arange(sub) * lanes)[None, :, None]
+        + jnp.arange(lanes)[None, None, :]
+    ).reshape(G, 1, 1, sub, lanes)
+    return jnp.where(
+        row == 0,
+        jnp.zeros((), old.dtype),
+        jnp.where(
+            row == 1,
+            -optimal[None, :, :, None, None],
+            sampled,
+        ),
+    )
+
+
+class PallasSampler:
+    """Fused sampling + rollout backend for mppi.Planner: owns the noise
+    representation in the Pallas kernel's (G, S, 12, SUB, LANES) lane
+    layout, so sampling, elite assembly, the kernel's control stream and
+    the weighting contraction all run in one layout with zero relayout
+    passes (the host-side transpose/pad/copy chain fed ~10% of the solve
+    on v5e — PERF.md).
+
+    Planner protocol (mppi.Planner detects these attributes):
+    - init_noise(dtype) -> repr
+    - sample_and_rollout(key, keep_mask, shift_by, do_shift, old_repr,
+      optimal, optimal_shifted, x0, time, ctx) -> ((R, 2) costs, repr)
+    - weighted_noise_sum(repr, (R,) weights) -> (S, dof)
+
+    Diagonal covariance only (the robot default, base.hpp:79-94)."""
+
+    def __init__(
+        self,
+        model: RobotModel,
+        objective_cfg: ObjectiveConfiguration,
+        robot_cfg: fr.Configuration,
+        rollout_count: int,
+        steps: int,
+        dt: float,
+        diag_scale: np.ndarray,  # (dof,) noise standard deviations
+        discount: float = 1.0,
+        sublanes: int = 16,
+        interpret: Optional[bool] = None,
+    ):
+        _, kp, kd = robot_cfg.resolve()
+        tile = sublanes * LANES
+        self.rollouts = rollout_count
+        self.steps = steps
+        self.dof = 12
+        self.grid = -(-rollout_count // tile)
+        self.sublanes = sublanes
+        self._diag_scale = np.asarray(diag_scale, np.float64)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self._interpret = interpret
+        self._kernel = functools.partial(
+            _rollout_kernel,
+            model=model,
+            objective_cfg=objective_cfg,
+            kp=kp,
+            kd=kd,
+            steps=steps,
+            dt=dt,
+            sublanes=sublanes,
+        )
+        self._objective_cfg = objective_cfg
+        self._discount = discount
+        self._dt = dt
+
+    def init_noise(self, dtype):
+        return jnp.zeros(
+            (self.grid, self.steps, self.dof, self.sublanes, LANES),
+            dtype=dtype,
+        )
+
+    def _costs(self, controls, x0, time, ctx):
+        dtype = controls.dtype
+        steps = self.steps
+        if ctx is None:
+            zeros = jnp.zeros((steps,), dtype=dtype)
+            traj = TrajectoryStepData(
+                target=jnp.zeros((steps, 3), dtype=dtype),
+                inv_norm2=zeros,
+                position_cost=zeros,
+                velocity_target=zeros,
+                active=jnp.zeros((steps,), dtype=bool),
+            )
+        else:
+            traj = trajectory_step_data(
+                self._objective_cfg, ctx, time, steps, self._dt
+            )
+        discounts = (
+            self._discount ** jnp.arange(steps, dtype=dtype)
+        ).reshape(steps, 1)
+        x0 = x0.astype(dtype)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+        out = pl.pallas_call(
+            self._kernel,
+            grid=(self.grid,),
+            in_specs=[
+                smem(), smem(), smem(), smem(), smem(), smem(), smem(),
+                smem(),
+                pl.BlockSpec(
+                    (None, steps, 12, self.sublanes, LANES),
+                    lambda g: (g, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, 2, self.sublanes, LANES),
+                lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (self.grid, 2, self.sublanes, LANES), dtype
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((12, self.sublanes, LANES), dtype),
+                pltpu.VMEM((12, self.sublanes, LANES), dtype),
+            ],
+            interpret=self._interpret,
+        )(
+            x0[fr.POSITION].reshape(12, 1),
+            x0[fr.VELOCITY].reshape(12, 1),
+            x0[fr.ENERGY].reshape(1, 1),
+            traj.target.astype(dtype),
+            traj.inv_norm2.reshape(steps, 1).astype(dtype),
+            traj.position_cost.reshape(steps, 1).astype(dtype),
+            traj.velocity_target.reshape(steps, 1).astype(dtype),
+            discounts,
+            controls,
+        )
+        # (G, 2, SUB, LANES) -> (R, 2).
+        costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
+        return costs[: self.rollouts]
+
+    def sample_and_rollout(
+        self, key, keep_mask, shift_by, do_shift, old, optimal,
+        optimal_shifted, x0, time, ctx,
+    ):
+        dtype = old.dtype
+        scale = jnp.asarray(self._diag_scale, dtype=dtype)
+        fresh = (
+            jax.random.normal(key, old.shape, dtype)
+            * scale[None, None, :, None, None]
+        )
+        noise = lane_noise_assemble(
+            old, fresh, keep_mask, shift_by, do_shift,
+            optimal.astype(dtype),
+        )
+        controls = (
+            noise
+            + optimal_shifted.astype(dtype)[None, :, :, None, None]
+        )
+        return self._costs(controls, x0, time, ctx), noise
+
+    def weighted_noise_sum(self, noise, weights):
+        pad = noise.shape[0] * noise.shape[3] * noise.shape[4] - weights.shape[0]
+        if pad:
+            weights = jnp.concatenate(
+                [weights, jnp.zeros((pad,), weights.dtype)]
+            )
+        w = weights.reshape(
+            noise.shape[0], noise.shape[3], noise.shape[4]
+        )
+        return jnp.einsum("gsdab,gab->sd", noise, w)
+
+
 def make_pallas_planner(
     mppi_configuration,
     objective_cfg: ObjectiveConfiguration = None,
@@ -238,6 +444,7 @@ def make_pallas_planner(
     interpret: Optional[bool] = None,
     filter_fn=None,
     rollout_fn_wrapper=None,
+    fused_sampling: bool = False,
 ):
     """Planner with the assisted-manipulation objective on the fused Pallas
     rollout kernel (cost channels identical to the lanes / vmap paths).
@@ -245,7 +452,12 @@ def make_pallas_planner(
     ``filter_fn`` forwards to Planner (the QP safety filter,
     safety.make_safety_filter). ``rollout_fn_wrapper`` post-processes the
     rollout evaluator — e.g. parallel.sharding.shard_rollout_fn to place the
-    kernel per-device over a mesh (GSPMD cannot partition a pallas_call)."""
+    kernel per-device over a mesh (GSPMD cannot partition a pallas_call).
+
+    ``fused_sampling`` hands noise sampling/assembly to PallasSampler: the
+    noise tensor lives in the kernel's lane layout end to end (no relayout
+    pass, ~10% of the solve on v5e — PERF.md). Requires a diagonal MPPI
+    covariance and no rollout_fn_wrapper (the sampler is placed whole)."""
     from .. import mppi as mppi_module
     from ..models.model_data import frankaridgeback_model
     from ..objectives.assisted_manipulation import AssistedManipulation
@@ -255,6 +467,32 @@ def make_pallas_planner(
     robot_cfg = robot_cfg or fr.Configuration()
     objective = AssistedManipulation(objective_cfg)
     plant = fr.make_plant(objective, robot_cfg, model)
+    if fused_sampling:
+        if rollout_fn_wrapper is not None:
+            raise ValueError(
+                "fused_sampling owns the rollout; it cannot compose with a "
+                "rollout_fn_wrapper (use the non-fused path under shard_map)"
+            )
+        covariance = np.asarray(mppi_configuration.covariance, np.float64)
+        if covariance.ndim == 1:
+            covariance = np.diag(covariance)
+        if np.count_nonzero(covariance - np.diag(np.diag(covariance))):
+            raise ValueError("fused_sampling requires a diagonal covariance")
+        sampler = PallasSampler(
+            model,
+            objective_cfg,
+            robot_cfg,
+            mppi_configuration.rollout_count,
+            mppi_configuration.step_count,
+            mppi_configuration.time_step,
+            diag_scale=np.sqrt(np.diag(covariance)),
+            discount=mppi_configuration.cost_discount_factor,
+            sublanes=sublanes,
+            interpret=interpret,
+        )
+        return mppi_module.Planner(
+            mppi_configuration, plant, sampler=sampler, filter_fn=filter_fn
+        )
     rollout_fn = make_pallas_rollout_fn(
         model,
         objective_cfg,

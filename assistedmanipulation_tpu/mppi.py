@@ -211,6 +211,7 @@ class Planner:
         rollout_fn=None,
         filter_fn=None,
         filter_rollout_fn=None,
+        sampler=None,
     ):
         """``rollout_fn(noise, optimal_shifted, x0, time, ctx) -> (R, 2)``
         optionally replaces the generic vmap rollout with a fused batch
@@ -226,7 +227,18 @@ class Planner:
         (mppi::Filter, mppi.hpp:150-176) applied during the optimal
         re-rollout; filtered controls write back into the published sequence
         exactly like the reference's Eigen block mutation (mppi.cpp:460-466).
-        See safety.make_safety_filter for the QP-backed implementation."""
+        See safety.make_safety_filter for the QP-backed implementation.
+
+        ``sampler`` optionally replaces BOTH the noise sampling/assembly and
+        the batch rollout with a backend that owns the noise representation
+        (e.g. kernels/pallas_rollout.PallasSampler: noise lives in the
+        kernel's lane layout, so no relayout pass feeds the kernel). The
+        protocol: ``init_noise(dtype)``, ``sample_and_rollout(key,
+        keep_mask, shift_by, do_shift, old_noise, optimal, optimal_shifted,
+        x0, time, ctx) -> (costs (R, 2), noise_repr)``,
+        ``weighted_noise_sum(noise_repr, weights (R,)) -> (steps, dof)``.
+        Mutually exclusive with ``rollout_fn`` and with the
+        ``noise_override`` parity hook."""
         cfg = configuration
         dof = plant.control_dof
         if cfg.covariance is None:
@@ -255,6 +267,9 @@ class Planner:
         self.rollout_fn = rollout_fn
         self.filter_fn = filter_fn
         self.filter_rollout_fn = filter_rollout_fn
+        if sampler is not None and rollout_fn is not None:
+            raise ValueError("sampler and rollout_fn are mutually exclusive")
+        self.sampler = sampler
         self.dtype = jnp.dtype(cfg.dtype)
         self.steps = cfg.step_count
         self.rollout_count = cfg.rollout_count
@@ -305,9 +320,15 @@ class Planner:
             if smoother is not None
             else jnp.zeros((0, 0), dtype=self.dtype)
         )
+        if self.sampler is not None:
+            noise0 = self.sampler.init_noise(self.dtype)
+        else:
+            noise0 = jnp.zeros(
+                (self.rollout_count, steps, dof), dtype=self.dtype
+            )
         return PlannerState(
             optimal_control=jnp.zeros((steps, dof), dtype=self.dtype),
-            noise=jnp.zeros((self.rollout_count, steps, dof), dtype=self.dtype),
+            noise=noise0,
             costs=jnp.zeros((self.rollout_count, 2), dtype=self.dtype),
             last_shift_time=jnp.asarray(0.0, dtype=self.dtype),
             last_update_time=jnp.asarray(0.0, dtype=self.dtype),
@@ -357,10 +378,11 @@ class Planner:
 
     # -- implementation ------------------------------------------------------
 
-    def _sample(self, state: PlannerState, time: jax.Array, noise_override=None):
-        """Shift + resample rollout noise (mppi.cpp:189-270)."""
+    def _sample_meta(self, state: PlannerState, time: jax.Array):
+        """The sampling decisions shared by both noise paths: horizon shift,
+        elite keep mask, RNG split (mppi.cpp:189-231)."""
         cfg = self.configuration
-        steps, dof = self.steps, self.plant.control_dof
+        steps = self.steps
         R = self.rollout_count
         dt = cfg.time_step
 
@@ -403,6 +425,22 @@ class Planner:
             jax.random.wrap_key_data(state.rng, impl=self._rng_impl)
         )
         rng = jax.random.key_data(rng_typed)
+        return (
+            optimal_shifted, shift_by, do_shift, last_shift_time,
+            keep_mask, key, rng,
+        )
+
+    def _sample(self, state: PlannerState, time: jax.Array, noise_override=None):
+        """Shift + resample rollout noise (mppi.cpp:189-270), logical
+        (R, steps, dof) layout."""
+        steps, dof = self.steps, self.plant.control_dof
+        R = self.rollout_count
+        (
+            optimal_shifted, shift_by, do_shift, last_shift_time,
+            keep_mask, key, rng,
+        ) = self._sample_meta(state, time)
+        row = jnp.arange(R)
+
         fresh = jax.random.normal(key, (R, steps, dof), self.dtype)
         if self._diag_scale is not None:
             fresh = fresh * self._diag_scale
@@ -528,8 +566,12 @@ class Planner:
         weights = likelihood / jnp.where(total > 0, total, 1.0)
 
         # Weighted noise sum = gradient estimate (mppi.cpp:413-418). This is
-        # a (R) x (R, steps*dof) contraction -> MXU matmul.
-        gradient = jnp.einsum("r,rsd->sd", weights, noise)
+        # a (R) x (R, steps*dof) contraction -> MXU matmul. A sampler owns
+        # the contraction in its own noise layout.
+        if self.sampler is not None:
+            gradient = self.sampler.weighted_noise_sum(noise, weights)
+        else:
+            gradient = jnp.einsum("r,rsd->sd", weights, noise)
 
         updated = optimal_shifted + cfg.gradient_step * gradient
 
@@ -583,10 +625,26 @@ class Planner:
 
     def _update_impl(self, state: PlannerState, x0, time, ctx=None,
                      noise_override=None):
-        noise, optimal_shifted, shift_by, last_shift_time, rng = self._sample(
-            state, time, noise_override
-        )
-        costs = self._rollout_batch(noise, optimal_shifted, x0, time, ctx)
+        if self.sampler is not None:
+            if noise_override is not None:
+                raise ValueError(
+                    "noise_override (the parity replay hook) requires the "
+                    "logical noise layout; build the Planner without a "
+                    "sampler for replays"
+                )
+            (
+                optimal_shifted, shift_by, do_shift, last_shift_time,
+                keep_mask, key, rng,
+            ) = self._sample_meta(state, time)
+            costs, noise = self.sampler.sample_and_rollout(
+                key, keep_mask, shift_by, do_shift, state.noise,
+                state.optimal_control, optimal_shifted, x0, time, ctx,
+            )
+        else:
+            noise, optimal_shifted, shift_by, last_shift_time, rng = (
+                self._sample(state, time, noise_override)
+            )
+            costs = self._rollout_batch(noise, optimal_shifted, x0, time, ctx)
         optimal, weights, gradient, sg_buffer, degenerate = self._optimise(
             costs,
             noise,

@@ -108,6 +108,7 @@ def build_flagship(
     interpret: Optional[bool] = None,
     sublanes: Optional[int] = None,
     rng_impl: str = "rbg",
+    fused_sampling: Optional[bool] = None,
 ) -> Flagship:
     """Compose the flagship planner.
 
@@ -175,6 +176,15 @@ def build_flagship(
             interpret=interpret,
             filter_fn=filter_fn,
             rollout_fn_wrapper=wrapper,
+            # Lane-layout fused sampling (PallasSampler) on the unsharded
+            # single-scenario serving path; the sharded path keeps the
+            # logical layout (the sampler isn't shard_map-placed yet) and
+            # scenario ensembles consume the rollout_fn wrapper. Pass
+            # fused_sampling=False to force the logical layout (e.g. for
+            # the noise_override parity hook, scripts/tpu_crosscheck.py).
+            fused_sampling=(
+                wrapper is None if fused_sampling is None else fused_sampling
+            ),
         )
     elif backend == "lanes":
         from ..kernels.lane_rollout import make_lanes_planner

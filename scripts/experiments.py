@@ -291,19 +291,43 @@ def _artifact_sections(root):
             )
         overhead = scaling.get("overhead", [])
         if overhead:
+            total = overhead[0].get("rollouts", "?")
             lines += [
                 "",
-                "Fixed-work sharding overhead (same 2048 rollouts, split "
-                "across devices):",
+                f"Fixed-work sharding overhead (same {total} rollouts, "
+                "split across devices; median of repeated runs — single-"
+                "machine virtual devices contend for cores, so wall-clock "
+                "here bounds scheduler noise, not ICI):",
                 "",
-                "| devices | solves/s | efficiency vs 1 device |",
-                "|---|---|---|",
+                "| devices | solves/s (runs) | efficiency vs 1 device | "
+                "collectives per solve |",
+                "|---|---|---|---|",
             ]
             for row in overhead:
+                cc = row.get("collectives")
+                if cc:
+                    ops = ", ".join(
+                        f"{k} x{v}" for k, v in sorted(cc["ops"].items())
+                    )
+                    cc_text = f"{ops} ({cc['payload_bytes']} B)"
+                else:
+                    cc_text = "—"
+                runs = row.get("solves_per_s_runs", [row["solves_per_s"]])
                 lines.append(
-                    f"| {row['devices']} | {row['solves_per_s']} | "
-                    f"{row['sharding_efficiency_same_work']:.3f} |"
+                    f"| {row['devices']} | {row['solves_per_s']} "
+                    f"{runs} | "
+                    f"{row['sharding_efficiency_same_work']:.3f} | "
+                    f"{cc_text} |"
                 )
+            lines += [
+                "",
+                "The compile-level collective footprint is the quantity the "
+                ">=80% multi-chip target depends on: the payload that must "
+                "cross ICI per solve is constant and tiny against the "
+                "per-device rollout compute (the rollout batch itself is "
+                "embarrassingly parallel; only the weighting reductions "
+                "cross devices).",
+            ]
 
     path = os.path.join(root, "TPU_CROSSCHECK.json")
     if os.path.exists(path):

@@ -101,3 +101,153 @@ def test_pallas_planner_update_runs(rng):
     state, info = planner.update(state, x0, 0.0, _make_ctx())
     assert np.isfinite(np.asarray(state.optimal_control)).all()
     assert np.isfinite(np.asarray(info.weights)).all()
+
+
+# --- fused lane-layout sampling (PallasSampler) ------------------------------
+
+
+def _lane_to_logical(noise_lane, rollouts):
+    """(G, S, 12, sub, LANES) -> (R, S, 12): rollout r = (g*sub + a)*128 + b,
+    the exact relayout make_pallas_rollout_fn performs on its input."""
+    G, S, D, sub, lanes = noise_lane.shape
+    return (
+        np.asarray(noise_lane)
+        .transpose(0, 3, 4, 1, 2)
+        .reshape(G * sub * lanes, S, D)[:rollouts]
+    )
+
+
+def test_lane_noise_assemble_matches_logical_assembly(rng):
+    """The sampler's one piece of unique logic — the elite/static/fresh
+    noise assembly in lane layout — must equal the planner's logical-layout
+    assembly (mppi.Planner._sample semantics) given the SAME fresh draws."""
+    from assistedmanipulation_tpu.kernels.pallas_rollout import (
+        lane_noise_assemble,
+    )
+
+    G, S, D, sub, lanes = 2, 5, 12, 1, 128
+    R = 200  # < G*sub*lanes: exercises the pad rows
+    old_lane = jnp.asarray(
+        rng.standard_normal((G, S, D, sub, lanes)), jnp.float32
+    )
+    fresh_lane = jnp.asarray(
+        rng.standard_normal((G, S, D, sub, lanes)), jnp.float32
+    )
+    keep = jnp.asarray(rng.random(R) < 0.4)
+    keep = keep.at[0].set(False).at[1].set(False)  # statics never kept
+    optimal = jnp.asarray(rng.standard_normal((S, D)), jnp.float32)
+
+    for shift, do_shift in ((2, True), (0, False)):
+        got = lane_noise_assemble(
+            old_lane,
+            fresh_lane,
+            keep,
+            jnp.asarray(shift, jnp.int32),
+            jnp.asarray(do_shift),
+            optimal,
+        )
+        got_logical = _lane_to_logical(got, R)
+
+        # Reference: the same assembly in logical layout.
+        old = _lane_to_logical(old_lane, R)
+        fresh = _lane_to_logical(fresh_lane, R)
+        col = np.arange(S)
+        shifted_old = old[:, np.minimum(col + shift, S - 1)]
+        kept = np.where(
+            (col < S - shift)[None, :, None], shifted_old, fresh
+        )
+        kept = kept if do_shift else old
+        sampled = np.where(np.asarray(keep)[:, None, None], kept, fresh)
+        expected = sampled.copy()
+        expected[0] = 0.0
+        expected[1] = -np.asarray(optimal)
+        np.testing.assert_array_equal(got_logical, expected)
+
+
+def test_pallas_sampler_costs_match_rollout_fn(rng):
+    """Same controls through the sampler's kernel invocation and through
+    make_pallas_rollout_fn must give identical cost channels (it is the
+    same kernel; only the input layout differs)."""
+    from assistedmanipulation_tpu.kernels.pallas_rollout import PallasSampler
+
+    model = frankaridgeback_model()
+    objective_cfg = ObjectiveConfiguration()
+    robot_cfg = fr.Configuration()
+    R = 7
+    sampler = PallasSampler(
+        model,
+        objective_cfg,
+        robot_cfg,
+        rollout_count=R,
+        steps=STEPS,
+        dt=DT,
+        diag_scale=np.sqrt(np.asarray(fr.DEFAULT_COVARIANCE)),
+        sublanes=1,
+        interpret=True,
+    )
+    _, rollout_fn = _make_fns()
+    ctx = _make_ctx()
+    x0 = jnp.asarray(fr.make_state("huddled"), jnp.float32)
+    t = jnp.asarray(0.0, jnp.float32)
+    optimal_shifted = jnp.asarray(
+        0.1 * rng.standard_normal((STEPS, 12)), jnp.float32
+    )
+
+    noise_lane = jnp.asarray(
+        rng.standard_normal(
+            (sampler.grid, STEPS, 12, sampler.sublanes, 128)
+        ),
+        jnp.float32,
+    )
+    controls_lane = noise_lane + optimal_shifted[None, :, :, None, None]
+    got = sampler._costs(controls_lane, x0, t, ctx)
+
+    noise_logical = jnp.asarray(_lane_to_logical(noise_lane, R))
+    expected = rollout_fn(noise_logical, optimal_shifted, x0, t, ctx)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_fused_sampling_planner_integration():
+    """A fused-sampling flagship planner (interpret mode) runs two updates:
+    finite bounded optimal control, non-degenerate weighting, and the
+    lane-layout noise state threads through elite reuse."""
+    from assistedmanipulation_tpu.parallel.flagship import build_flagship
+
+    flagship = build_flagship(
+        rollouts=126,
+        steps=3,
+        backend="pallas",
+        sublanes=1,
+        interpret=True,
+        rng_impl="threefry2x32",  # rbg is TPU-shaped; tests run on CPU
+    )
+    planner = flagship.planner
+    assert planner.sampler is not None
+    state = flagship.init(seed=0)
+    assert state.noise.ndim == 5  # lane layout
+    ctx = flagship.make_ctx()
+    state, info = flagship.update(state, flagship.x0, 0.0, ctx)
+    state, info = flagship.update(state, flagship.x0, 0.01, ctx)
+    optimal = np.asarray(state.optimal_control)
+    assert np.isfinite(optimal).all()
+    assert (optimal >= np.asarray(fr.DEFAULT_CONTROL_MIN) - 1e-6).all()
+    assert (optimal <= np.asarray(fr.DEFAULT_CONTROL_MAX) + 1e-6).all()
+    assert not bool(info.degenerate)
+    assert np.isfinite(np.asarray(info.costs)).all()
+
+
+def test_fused_sampling_rejects_noise_override():
+    from assistedmanipulation_tpu.parallel.flagship import build_flagship
+
+    flagship = build_flagship(
+        rollouts=126, steps=3, backend="pallas", sublanes=1, interpret=True,
+        rng_impl="threefry2x32",
+    )
+    state = flagship.init(seed=0)
+    with pytest.raises(ValueError, match="noise_override"):
+        flagship.planner.update(
+            state, flagship.x0, 0.0, None,
+            noise_override=np.zeros((124, 3, 12), np.float32),
+        )
