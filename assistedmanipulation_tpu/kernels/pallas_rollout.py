@@ -46,6 +46,13 @@ from .lane_rollout import (
 
 LANES = 128
 
+# Horizon-loop unroll factor inside the kernel (Mosaic schedules across the
+# unrolled steps; >1 trades VMEM/compile time for ILP). Benched on v5e at
+# 10k x 50 — see PERF.md.
+import os as _os
+
+_KERNEL_UNROLL = int(_os.environ.get("PALLAS_UNROLL", "1"))
+
 
 def _rollout_kernel(
     # SMEM scalar tables (same for every grid program):
@@ -113,7 +120,7 @@ def _rollout_kernel(
         out_ref[1] += disc * step_smooth
         return 0
 
-    jax.lax.fori_loop(0, steps, body, 0)
+    jax.lax.fori_loop(0, steps, body, 0, unroll=_KERNEL_UNROLL)
 
 
 def make_pallas_rollout_fn(
