@@ -123,6 +123,118 @@ def _rollout_kernel(
     jax.lax.fori_loop(0, steps, body, 0, unroll=_KERNEL_UNROLL)
 
 
+def _fused_sample_rollout_kernel(
+    # SMEM scalar tables (same for every grid program):
+    q0_ref,  # (12, 1)
+    v0_ref,  # (12, 1)
+    energy_ref,  # (1, 1)
+    target_ref,  # (S, 3)
+    inv2_ref,  # (S, 1)
+    pcost_ref,  # (S, 1)
+    vtarget_ref,  # (S, 1)
+    disc_ref,  # (S, 1)
+    shift_ref,  # (1, 1) int32: horizon shift (mppi.cpp:194)
+    doshift_ref,  # (1, 1) int32: 0/1 shift gate
+    optimal_ref,  # (S, 12) pre-shift optimal (static rollout 1)
+    optshift_ref,  # (S, 12) shifted optimal (u = noise + this)
+    # VMEM blocks (per grid program):
+    old_ref,  # (S, 12, SUBLANES, LANES) previous noise tile
+    fresh_ref,  # (S, 12, SUBLANES, LANES) fresh N(0, cov) draws
+    keep_ref,  # (SUBLANES, LANES) elite keep mask (1.0 kept)
+    # Outputs:
+    noise_ref,  # (S, 12, SUBLANES, LANES) assembled noise tile
+    out_ref,  # (2, SUBLANES, LANES) cost channels
+    # VMEM scratch:
+    q_ref,  # (12, SUBLANES, LANES)
+    v_ref,  # (12, SUBLANES, LANES)
+    *,
+    model: RobotModel,
+    objective_cfg: ObjectiveConfiguration,
+    kp: np.ndarray,
+    kd: np.ndarray,
+    steps: int,
+    dt: float,
+    sublanes: int,
+):
+    """The rollout kernel with the planner's noise assembly fused in.
+
+    Same semantics as ``lane_noise_assemble`` followed by ``_rollout_kernel``
+    on ``noise + optimal_shifted`` (mppi.cpp:242-269 elite keep/shift +
+    static rollouts, then the mppi.cpp:272-342 hot loop), but the select
+    chain runs in-register per horizon step: the assembled 24 MB noise
+    tensor is written out exactly once and the controls tensor never exists
+    in HBM at all. The extra old/fresh input streams ride the grid
+    pipeline's DMA under the kernel's compute, replacing the separate
+    HBM-bound assembly pass (~10% of the solve on v5e — PERF.md)."""
+    shape = (sublanes, LANES)
+    dtype = old_ref.dtype
+
+    for i in range(12):
+        q_ref[i] = jnp.full(shape, q0_ref[i, 0], dtype=dtype)
+        v_ref[i] = jnp.full(shape, v0_ref[i, 0], dtype=dtype)
+    out_ref[0] = jnp.zeros(shape, dtype=dtype)
+    out_ref[1] = jnp.zeros(shape, dtype=dtype)
+    energy = jnp.full(shape, energy_ref[0, 0], dtype=dtype)
+
+    # Global rollout index of each lane: static rollouts 0 (zero noise) and
+    # 1 (negated pre-shift optimal) live in grid program 0.
+    g = pl.program_id(0)
+    row = (
+        g * (sublanes * LANES)
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    )
+    row0 = row == 0
+    row1 = row == 1
+    keep = keep_ref[...] != jnp.zeros((), dtype=dtype)
+    shift = shift_ref[0, 0]
+    do_shift = doshift_ref[0, 0] != 0
+    zero = jnp.zeros(shape, dtype=dtype)
+
+    def body(s, _):
+        sidx = jnp.minimum(s + shift, steps - 1)
+        tail = s >= steps - shift
+        old_shifted = old_ref[sidx]  # (12, SUBLANES, LANES)
+        old_s = old_ref[s]
+        fresh_s = fresh_ref[s]
+        u = []
+        for d in range(12):
+            kept = jnp.where(tail, fresh_s[d], old_shifted[d])
+            kept = jnp.where(do_shift, kept, old_s[d])
+            sampled = jnp.where(keep, kept, fresh_s[d])
+            n = jnp.where(
+                row0, zero, jnp.where(row1, -optimal_ref[s, d], sampled)
+            )
+            noise_ref[s, d] = n
+            u.append(n + optshift_ref[s, d])
+        q = [q_ref[i] for i in range(12)]
+        v = [v_ref[i] for i in range(12)]
+        step_viol, step_smooth, q_next, v_next = step_cost_and_dynamics(
+            model,
+            objective_cfg,
+            kp,
+            kd,
+            q,
+            v,
+            u,
+            energy,
+            [target_ref[s, 0], target_ref[s, 1], target_ref[s, 2]],
+            inv2_ref[s, 0],
+            pcost_ref[s, 0],
+            vtarget_ref[s, 0],
+            dt,
+        )
+        disc = disc_ref[s, 0]
+        for i in range(12):
+            q_ref[i] = q_next[i]
+            v_ref[i] = v_next[i]
+        out_ref[0] += disc * step_viol
+        out_ref[1] += disc * step_smooth
+        return 0
+
+    jax.lax.fori_loop(0, steps, body, 0, unroll=_KERNEL_UNROLL)
+
+
 def make_pallas_rollout_fn(
     model: RobotModel,
     objective_cfg: ObjectiveConfiguration,
@@ -302,7 +414,19 @@ class PallasSampler:
       optimal, optimal_shifted, x0, time, ctx) -> ((R, 2) costs, repr)
     - weighted_noise_sum(repr, (R,) weights) -> (S, dof)
 
-    Diagonal covariance only (the robot default, base.hpp:79-94)."""
+    Diagonal covariance only (the robot default, base.hpp:79-94).
+
+    ``fused_assembly`` moves the noise assembly INTO the rollout kernel
+    (_fused_sample_rollout_kernel): old + fresh noise stream in, assembled
+    noise streams out, and the controls tensor never touches HBM. The
+    kernel then pipelines 3 horizon-sized VMEM blocks per grid program
+    instead of 1, so the tile height drops to 8 sublanes to fit the ~16 MB
+    VMEM budget (3 blocks x 2.46 MB x double-buffering). Measured on v5e
+    (scripts/ab_fused_assembly.py): +1.5% at equal sublanes, but the forced
+    16 -> 8 tile drop costs ~3-5%, so the two-pass path at 16 sublanes
+    stays the default — XLA already overlaps the separate assembly pass
+    well. Kept as an option: it is bitwise-equal (tested) and wins wherever
+    VMEM pressure forces 8-sublane tiles anyway."""
 
     def __init__(
         self,
@@ -316,8 +440,11 @@ class PallasSampler:
         discount: float = 1.0,
         sublanes: int = 16,
         interpret: Optional[bool] = None,
+        fused_assembly: bool = False,
     ):
         _, kp, kd = robot_cfg.resolve()
+        if fused_assembly:
+            sublanes = min(sublanes, 8)
         tile = sublanes * LANES
         self.rollouts = rollout_count
         self.steps = steps
@@ -328,8 +455,8 @@ class PallasSampler:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self._interpret = interpret
-        self._kernel = functools.partial(
-            _rollout_kernel,
+        self._fused_assembly = fused_assembly
+        statics = dict(
             model=model,
             objective_cfg=objective_cfg,
             kp=kp,
@@ -337,6 +464,10 @@ class PallasSampler:
             steps=steps,
             dt=dt,
             sublanes=sublanes,
+        )
+        self._kernel = functools.partial(_rollout_kernel, **statics)
+        self._fused_kernel = functools.partial(
+            _fused_sample_rollout_kernel, **statics
         )
         self._objective_cfg = objective_cfg
         self._discount = discount
@@ -348,8 +479,8 @@ class PallasSampler:
             dtype=dtype,
         )
 
-    def _costs(self, controls, x0, time, ctx):
-        dtype = controls.dtype
+    def _scalar_tables(self, dtype, x0, time, ctx):
+        """The SMEM operand tuple shared by both kernel variants."""
         steps = self.steps
         if ctx is None:
             zeros = jnp.zeros((steps,), dtype=dtype)
@@ -368,6 +499,21 @@ class PallasSampler:
             self._discount ** jnp.arange(steps, dtype=dtype)
         ).reshape(steps, 1)
         x0 = x0.astype(dtype)
+        return (
+            x0[fr.POSITION].reshape(12, 1),
+            x0[fr.VELOCITY].reshape(12, 1),
+            x0[fr.ENERGY].reshape(1, 1),
+            traj.target.astype(dtype),
+            traj.inv_norm2.reshape(steps, 1).astype(dtype),
+            traj.position_cost.reshape(steps, 1).astype(dtype),
+            traj.velocity_target.reshape(steps, 1).astype(dtype),
+            discounts,
+        )
+
+    def _costs(self, controls, x0, time, ctx):
+        dtype = controls.dtype
+        steps = self.steps
+        tables = self._scalar_tables(dtype, x0, time, ctx)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
         out = pl.pallas_call(
             self._kernel,
@@ -394,20 +540,87 @@ class PallasSampler:
                 pltpu.VMEM((12, self.sublanes, LANES), dtype),
             ],
             interpret=self._interpret,
-        )(
-            x0[fr.POSITION].reshape(12, 1),
-            x0[fr.VELOCITY].reshape(12, 1),
-            x0[fr.ENERGY].reshape(1, 1),
-            traj.target.astype(dtype),
-            traj.inv_norm2.reshape(steps, 1).astype(dtype),
-            traj.position_cost.reshape(steps, 1).astype(dtype),
-            traj.velocity_target.reshape(steps, 1).astype(dtype),
-            discounts,
-            controls,
-        )
+        )(*tables, controls)
         # (G, 2, SUB, LANES) -> (R, 2).
         costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
         return costs[: self.rollouts]
+
+    def _fused_sample_costs(
+        self, old, fresh, keep_mask, shift_by, do_shift, optimal,
+        optimal_shifted, x0, time, ctx,
+    ):
+        dtype = old.dtype
+        steps = self.steps
+        sub = self.sublanes
+        tables = self._scalar_tables(dtype, x0, time, ctx)
+        pad = self.grid * sub * LANES - keep_mask.shape[0]
+        if pad:
+            keep_mask = jnp.concatenate(
+                [keep_mask, jnp.zeros((pad,), dtype=bool)]
+            )
+        keep_lanes = keep_mask.reshape(self.grid, sub, LANES).astype(dtype)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+        noise, out = pl.pallas_call(
+            self._fused_kernel,
+            grid=(self.grid,),
+            in_specs=[
+                smem(), smem(), smem(), smem(), smem(), smem(), smem(),
+                smem(),  # the 8 shared scalar tables
+                smem(),  # shift_by
+                smem(),  # do_shift
+                smem(),  # optimal (pre-shift)
+                smem(),  # optimal_shifted
+                pl.BlockSpec(
+                    (None, steps, 12, sub, LANES),
+                    lambda g: (g, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # old noise
+                pl.BlockSpec(
+                    (None, steps, 12, sub, LANES),
+                    lambda g: (g, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # fresh draws
+                pl.BlockSpec(
+                    (None, sub, LANES),
+                    lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # keep mask
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (None, steps, 12, sub, LANES),
+                    lambda g: (g, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # assembled noise
+                pl.BlockSpec(
+                    (None, 2, sub, LANES),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # cost channels
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (self.grid, steps, 12, sub, LANES), dtype
+                ),
+                jax.ShapeDtypeStruct((self.grid, 2, sub, LANES), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((12, sub, LANES), dtype),
+                pltpu.VMEM((12, sub, LANES), dtype),
+            ],
+            interpret=self._interpret,
+        )(
+            *tables,
+            shift_by.astype(jnp.int32).reshape(1, 1),
+            do_shift.astype(jnp.int32).reshape(1, 1),
+            optimal.astype(dtype),
+            optimal_shifted.astype(dtype),
+            old,
+            fresh,
+            keep_lanes,
+        )
+        costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
+        return costs[: self.rollouts], noise
 
     def sample_and_rollout(
         self, key, keep_mask, shift_by, do_shift, old, optimal,
@@ -419,6 +632,11 @@ class PallasSampler:
             jax.random.normal(key, old.shape, dtype)
             * scale[None, None, :, None, None]
         )
+        if self._fused_assembly:
+            return self._fused_sample_costs(
+                old, fresh, keep_mask, shift_by, do_shift, optimal,
+                optimal_shifted, x0, time, ctx,
+            )
         noise = lane_noise_assemble(
             old, fresh, keep_mask, shift_by, do_shift,
             optimal.astype(dtype),
@@ -452,6 +670,7 @@ def make_pallas_planner(
     filter_fn=None,
     rollout_fn_wrapper=None,
     fused_sampling: bool = False,
+    fused_assembly: bool = False,
 ):
     """Planner with the assisted-manipulation objective on the fused Pallas
     rollout kernel (cost channels identical to the lanes / vmap paths).
@@ -496,6 +715,7 @@ def make_pallas_planner(
             discount=mppi_configuration.cost_discount_factor,
             sublanes=sublanes,
             interpret=interpret,
+            fused_assembly=fused_assembly,
         )
         return mppi_module.Planner(
             mppi_configuration, plant, sampler=sampler, filter_fn=filter_fn

@@ -70,7 +70,7 @@ def main():
     # its tick times (or runs the whole episode on device, sim/episode.py).
     times = [
         jnp.asarray(0.01 * (i + 1), dtype=jnp.float32)
-        for i in range(iterations)
+        for i in range(iterations * int(os.environ.get("BENCH_BLOCKS", 3)))
     ]
     jax.block_until_ready(times[-1])
 
@@ -82,16 +82,25 @@ def main():
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    t0 = time.perf_counter()
-    for i in range(iterations):
-        state, _ = flagship.update(state, x0, times[i], ctx)
-    jax.block_until_ready(state.optimal_control)
-    elapsed = time.perf_counter() - t0
+    # The tunneled chip shows +-10% rate variance across moments in time
+    # (contention on the shared runtime): time BENCH_BLOCKS independent
+    # blocks and report the median block's rate rather than one long
+    # average, so a transient stall doesn't masquerade as a regression.
+    blocks = int(os.environ.get("BENCH_BLOCKS", 3))
+    rates = []
+    tick = 0
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(iterations):
+            state, _ = flagship.update(state, x0, times[tick], ctx)
+            tick += 1
+        jax.block_until_ready(state.optimal_control)
+        rates.append(iterations / (time.perf_counter() - t0))
 
     if profile_dir:
         jax.profiler.stop_trace()
 
-    solves_per_second = iterations / elapsed
+    solves_per_second = sorted(rates)[len(rates) // 2]
     rollouts_per_second = solves_per_second * planner.rollout_count
 
     flops = solve_flops(planner.rollout_count, steps) * max(1, scenarios)
@@ -113,6 +122,7 @@ def main():
                 "tflops_per_s": round(flops_per_second / 1e12, 3),
                 "mfu": round(flops_per_second / matmul_peak, 5),
                 "vpu_util": round(flops_per_second / vpu_peak, 4),
+                "block_rates": [round(r, 1) for r in rates],
                 "device": jax.devices()[0].device_kind,
             }
         )

@@ -251,3 +251,69 @@ def test_fused_sampling_rejects_noise_override():
             state, flagship.x0, 0.0, None,
             noise_override=np.zeros((124, 3, 12), np.float32),
         )
+
+
+@pytest.mark.parametrize("shift,do_shift", [(2, True), (0, False)])
+def test_fused_assembly_matches_two_pass_sampler(rng, shift, do_shift):
+    """The fused sample+rollout kernel (_fused_sample_rollout_kernel) must
+    equal the two-pass path (lane_noise_assemble + _costs) BITWISE: both
+    run the same elementwise select chain and the same rollout graph, only
+    the memory plan differs (the assembly runs in-register and the controls
+    tensor never exists)."""
+    from assistedmanipulation_tpu.kernels.pallas_rollout import PallasSampler
+
+    model = frankaridgeback_model()
+    objective_cfg = ObjectiveConfiguration()
+    robot_cfg = fr.Configuration()
+    R = 200
+    kw = dict(
+        rollout_count=R,
+        steps=STEPS,
+        dt=DT,
+        diag_scale=np.sqrt(np.asarray(fr.DEFAULT_COVARIANCE)),
+        sublanes=1,
+        interpret=True,
+    )
+    fused = PallasSampler(
+        model, objective_cfg, robot_cfg, fused_assembly=True, **kw
+    )
+    twopass = PallasSampler(
+        model, objective_cfg, robot_cfg, fused_assembly=False, **kw
+    )
+    assert fused.grid == twopass.grid
+
+    old = jnp.asarray(
+        0.3 * rng.standard_normal((fused.grid, STEPS, 12, 1, 128)),
+        jnp.float32,
+    )
+    keep = jnp.asarray(rng.random(R) < 0.4)
+    keep = keep.at[0].set(False).at[1].set(False)
+    optimal = jnp.asarray(
+        0.1 * rng.standard_normal((STEPS, 12)), jnp.float32
+    )
+    optimal_shifted = jnp.asarray(
+        0.1 * rng.standard_normal((STEPS, 12)), jnp.float32
+    )
+    x0 = jnp.asarray(fr.make_state("huddled"), jnp.float32)
+    t = jnp.asarray(0.0, jnp.float32)
+    key = jax.random.key(7)
+    args = (
+        key,
+        keep,
+        jnp.asarray(shift, jnp.int32),
+        jnp.asarray(do_shift),
+        old,
+        optimal,
+        optimal_shifted,
+        x0,
+        t,
+    )
+    for ctx in (None, _make_ctx()):
+        costs_f, noise_f = fused.sample_and_rollout(*args, ctx)
+        costs_t, noise_t = twopass.sample_and_rollout(*args, ctx)
+        np.testing.assert_array_equal(
+            np.asarray(noise_f), np.asarray(noise_t)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(costs_f), np.asarray(costs_t)
+        )
