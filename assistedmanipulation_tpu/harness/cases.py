@@ -545,6 +545,92 @@ class TrajectoryPlaybackTest:
         pass
 
 
+@register_test("forecast")
+class ForecastTest:
+    """The reference's forecast unit checks behind the CLI registry
+    (forecast.cpp:14-160, listed by ``-l`` via test.hpp:233-261): LOCF
+    carry-forward/expiry (forecast.cpp:23-60), the windowed-average golden
+    sequence (forecast.cpp:62-101), and the order-1 Kalman linear-tracking
+    run, logged to kalman.csv for offline inspection exactly like the
+    reference's visual check (forecast.cpp:103-160)."""
+
+    def __init__(self, folder: str, patch: dict = None, duration: float = None):
+        self.configuration = {}
+        self.folder = folder
+
+    def run(self) -> bool:
+        ok = True
+
+        # LOCF: carries the last observation until the validity horizon,
+        # then zero (forecast.cpp:23-60).
+        locf = fc.LOCFForecast(fc.LOCFConfiguration(horizon=0.3, states=3))
+        state = locf.init(dtype=jnp.float64)
+        state = locf.update(state, np.array([1.0, 2.0, 3.0]), 1.0)
+        ok &= np.allclose(
+            np.asarray(locf.forecast(state, jnp.asarray(1.2))), [1, 2, 3]
+        )
+        ok &= np.allclose(
+            np.asarray(locf.forecast(state, jnp.asarray(1.5))), [0, 0, 0]
+        )
+
+        # Average: the reference's exact golden sequence
+        # (forecast.cpp:62-101).
+        avg = fc.AverageForecast(
+            fc.AverageConfiguration(states=3, window=1.0, max_measurements=32)
+        )
+        state = avg.init(dtype=jnp.float64)
+        ok &= np.allclose(np.asarray(avg.forecast(state, jnp.asarray(0.0))), 0.0)
+        state = avg.update(state, np.array([0.0, 1.0, 0.0]), 1.01)
+        ok &= np.allclose(
+            np.asarray(avg.forecast(state, jnp.asarray(5.0))), [0, 1.0, 0]
+        )
+        state = avg.update(state, np.array([0.0, 1.5, 0.0]), 1.5)
+        ok &= np.allclose(
+            np.asarray(avg.forecast(state, jnp.asarray(10.0))), [0, 1.25, 0]
+        )
+        state = avg.update(state, np.array([1.0, 1.0, 1.0]), 3.0)
+        ok &= np.allclose(
+            np.asarray(avg.forecast(state, jnp.asarray(3.0))), [1, 1, 1]
+        )
+
+        # Kalman order-1 on a linear signal, logged to CSV
+        # (forecast.cpp:103-160): the forecast must extrapolate the slope.
+        config = fc.KalmanForecastConfiguration(
+            observed_states=6, order=1, time_step=0.01, horizon=0.3
+        )
+        kalman = fc.KalmanForecast(config)
+        state = kalman.init(dtype=jnp.float64)
+        slope = np.array([2.0, -1.0, 0.5, 0.0, 0.0, 1.0])
+        writer = CSVWriter(
+            os.path.join(self.folder, "kalman.csv"),
+            ["time"]
+            + [f"measurement_{i}" for i in range(6)]
+            + [f"forecast_{i}" for i in range(6)],
+        )
+        t = 0.0
+        for i in range(50):
+            t = i * 0.01
+            state = kalman.update(state, slope * t, t)
+            prediction = np.asarray(
+                kalman.forecast(state, jnp.asarray(t + 0.2))
+            )
+            writer.write(t, slope * t, prediction)
+        writer.close()
+        ok &= np.allclose(
+            np.asarray(kalman.forecast(state, jnp.asarray(t + 0.2))),
+            slope * (t + 0.2),
+            atol=0.02,
+        )
+        # Beyond the horizon: zero (forecast.cpp:348-350).
+        ok &= np.allclose(
+            np.asarray(kalman.forecast(state, jnp.asarray(t + 0.5))), 0.0
+        )
+        return bool(ok)
+
+    def close(self):
+        pass
+
+
 @register_test("angles")
 class AnglesTest:
     """Quaternion <-> ZXZ euler round trip (angles.hpp:27-35)."""

@@ -135,6 +135,7 @@ def _fused_sample_rollout_kernel(
     disc_ref,  # (S, 1)
     shift_ref,  # (1, 1) int32: horizon shift (mppi.cpp:194)
     doshift_ref,  # (1, 1) int32: 0/1 shift gate
+    first_ref,  # (1, 1) int32: 1 iff this shard holds rollouts 0/1
     optimal_ref,  # (S, 12) pre-shift optimal (static rollout 1)
     optshift_ref,  # (S, 12) shifted optimal (u = noise + this)
     # VMEM blocks (per grid program):
@@ -176,16 +177,19 @@ def _fused_sample_rollout_kernel(
     out_ref[1] = jnp.zeros(shape, dtype=dtype)
     energy = jnp.full(shape, energy_ref[0, 0], dtype=dtype)
 
-    # Global rollout index of each lane: static rollouts 0 (zero noise) and
-    # 1 (negated pre-shift optimal) live in grid program 0.
+    # Shard-local rollout index of each lane: static rollouts 0 (zero noise)
+    # and 1 (negated pre-shift optimal) live in grid program 0 of the FIRST
+    # shard only (first_ref gates them when the rollout batch is partitioned
+    # into per-device shards — parallel/sharding.py).
     g = pl.program_id(0)
     row = (
         g * (sublanes * LANES)
         + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     )
-    row0 = row == 0
-    row1 = row == 1
+    first = first_ref[0, 0] != 0
+    row0 = (row == 0) & first
+    row1 = (row == 1) & first
     keep = keep_ref[...] != jnp.zeros((), dtype=dtype)
     shift = shift_ref[0, 0]
     do_shift = doshift_ref[0, 0] != 0
@@ -354,6 +358,7 @@ def lane_noise_assemble(
     shift_by,  # traced int32 scalar
     do_shift,  # traced bool scalar
     optimal,  # (S, 12) previous optimal control (pre-shift)
+    first_shard=None,  # traced bool: this shard holds rollouts 0/1 (def yes)
 ):
     """The planner's noise assembly (mppi.Planner._sample semantics:
     elite keep with left-shifted history + fresh tail, mppi.cpp:242-253;
@@ -383,17 +388,23 @@ def lane_noise_assemble(
     sampled = jnp.where(keep_lanes, kept, fresh)
 
     # Static rollouts 0 (zero noise) and 1 (negated pre-shift optimal) live
-    # at (g=0, a=0, b=0) and (g=0, a=0, b=1).
+    # at (g=0, a=0, b=0) and (g=0, a=0, b=1) — of the FIRST shard only when
+    # the rollout batch is partitioned over devices (``first_shard`` gates
+    # them; shards > 0 hold no statics).
     row = (
         (jnp.arange(G) * sub * lanes)[:, None, None]
         + (jnp.arange(sub) * lanes)[None, :, None]
         + jnp.arange(lanes)[None, None, :]
     ).reshape(G, 1, 1, sub, lanes)
+    if first_shard is None:
+        is0, is1 = row == 0, row == 1
+    else:
+        is0, is1 = (row == 0) & first_shard, (row == 1) & first_shard
     return jnp.where(
-        row == 0,
+        is0,
         jnp.zeros((), old.dtype),
         jnp.where(
-            row == 1,
+            is1,
             -optimal[None, :, :, None, None],
             sampled,
         ),
@@ -426,7 +437,21 @@ class PallasSampler:
     16 -> 8 tile drop costs ~3-5%, so the two-pass path at 16 sublanes
     stays the default — XLA already overlaps the separate assembly pass
     well. Kept as an option: it is bitwise-equal (tested) and wins wherever
-    VMEM pressure forces 8-sublane tiles anyway."""
+    VMEM pressure forces 8-sublane tiles anyway.
+
+    ``shards``/``mesh``: the rollout batch partitions into ``shards``
+    contiguous blocks of ``rollout_count // shards`` rollouts, each tiled
+    and padded INDEPENDENTLY (per-device tiles) — the TPU analog of the
+    reference's per-thread block partition (mppi.cpp:277-302). Fresh noise
+    for shard i is drawn from ``fold_in(key, i)``, so the bits depend only
+    on (key, shard), never on placement: running the shards as a host loop
+    (mesh=None) and running them one-per-device under shard_map (mesh
+    given) produce identical noise. With a mesh the per-shard computation
+    is placed with shard_map over ``rollout_axis`` (GSPMD cannot partition
+    an opaque pallas_call); the weighted-noise contraction psums over the
+    mesh axis, and a scenario-ensemble ctx sharded over ``scenario_axis``
+    (2-D mesh, BASELINE config 5) psums its risk-neutral scenario mean.
+    shards=1, mesh=None is the single-chip serving path, unchanged."""
 
     def __init__(
         self,
@@ -441,16 +466,39 @@ class PallasSampler:
         sublanes: int = 16,
         interpret: Optional[bool] = None,
         fused_assembly: bool = False,
+        shards: int = 1,
+        mesh=None,
+        rollout_axis: str = "rollouts",
+        scenario_axis: Optional[str] = None,
     ):
         _, kp, kd = robot_cfg.resolve()
         if fused_assembly:
             sublanes = min(sublanes, 8)
+        if mesh is not None:
+            shards = int(mesh.shape[rollout_axis])
+        if rollout_count % shards:
+            raise ValueError(
+                f"rollout count {rollout_count} not divisible into "
+                f"{shards} shards"
+            )
+        if fused_assembly and scenario_axis is not None:
+            raise ValueError(
+                "fused_assembly computes costs inside the sampling kernel "
+                "and cannot re-score a scenario ensemble; use the two-pass "
+                "sampler (fused_assembly=False) with scenarios"
+            )
         tile = sublanes * LANES
         self.rollouts = rollout_count
         self.steps = steps
         self.dof = 12
-        self.grid = -(-rollout_count // tile)
+        self.shards = shards
+        self.local_rollouts = rollout_count // shards
+        self.local_grid = -(-self.local_rollouts // tile)
+        self.grid = shards * self.local_grid
         self.sublanes = sublanes
+        self._mesh = mesh
+        self._rollout_axis = rollout_axis
+        self._scenario_axis = scenario_axis
         self._diag_scale = np.asarray(diag_scale, np.float64)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -510,14 +558,18 @@ class PallasSampler:
             discounts,
         )
 
-    def _costs(self, controls, x0, time, ctx):
+    def _costs_padded(self, controls, x0, time, ctx):
+        """Kernel invocation on one shard's (G_local, S, 12, SUB, LANES)
+        control tiles -> (G_local * tile, 2) cost channels, pad rows
+        included."""
         dtype = controls.dtype
         steps = self.steps
+        grid = controls.shape[0]
         tables = self._scalar_tables(dtype, x0, time, ctx)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
         out = pl.pallas_call(
             self._kernel,
-            grid=(self.grid,),
+            grid=(grid,),
             in_specs=[
                 smem(), smem(), smem(), smem(), smem(), smem(), smem(),
                 smem(),
@@ -533,7 +585,7 @@ class PallasSampler:
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (self.grid, 2, self.sublanes, LANES), dtype
+                (grid, 2, self.sublanes, LANES), dtype
             ),
             scratch_shapes=[
                 pltpu.VMEM((12, self.sublanes, LANES), dtype),
@@ -541,33 +593,68 @@ class PallasSampler:
             ],
             interpret=self._interpret,
         )(*tables, controls)
-        # (G, 2, SUB, LANES) -> (R, 2).
-        costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
-        return costs[: self.rollouts]
+        # (G, 2, SUB, LANES) -> (G * tile, 2).
+        return out.transpose(0, 2, 3, 1).reshape(-1, 2)
+
+    def _costs(self, controls, x0, time, ctx):
+        return self._costs_padded(controls, x0, time, ctx)[: self.rollouts]
+
+    def _scenario_costs_padded(self, controls, x0, time, ctx, sharded):
+        """Cost channels for one shard's controls, averaging over a
+        scenario-ensemble ctx (3-D wrench_horizon) when present — the
+        risk-neutral scenario mean of forecast/scenarios.py, computed
+        in-layout. Under a scenario-sharded mesh the mean psums over
+        ``scenario_axis``."""
+        if ctx is None or ctx.wrench_horizon.ndim == 2:
+            return self._costs_padded(controls, x0, time, ctx)
+
+        def one(horizon):
+            return self._costs_padded(
+                controls, x0, time, ctx._replace(wrench_horizon=horizon)
+            )
+
+        costs = jax.lax.map(one, ctx.wrench_horizon)  # (C_local, N, 2)
+        if sharded and self._scenario_axis is not None:
+            total = costs.shape[0] * self._mesh.shape[self._scenario_axis]
+            return (
+                jax.lax.psum(jnp.sum(costs, axis=0), self._scenario_axis)
+                / total
+            )
+        return jnp.mean(costs, axis=0)
 
     def _fused_sample_costs(
-        self, old, fresh, keep_mask, shift_by, do_shift, optimal,
-        optimal_shifted, x0, time, ctx,
+        self, old, fresh, keep_mask, shift_by, do_shift, first_shard,
+        optimal, optimal_shifted, x0, time, ctx,
     ):
+        """One shard through the fused sample+rollout kernel. ``old``/
+        ``fresh`` are (G_local, S, 12, SUB, LANES); ``keep_mask`` is the
+        shard's (R_local,) slice."""
+        if ctx is not None and ctx.wrench_horizon.ndim == 3:
+            raise ValueError(
+                "fused_assembly cannot score a scenario-ensemble ctx; "
+                "use the two-pass sampler (fused_assembly=False)"
+            )
         dtype = old.dtype
         steps = self.steps
         sub = self.sublanes
+        grid = old.shape[0]
         tables = self._scalar_tables(dtype, x0, time, ctx)
-        pad = self.grid * sub * LANES - keep_mask.shape[0]
+        pad = grid * sub * LANES - keep_mask.shape[0]
         if pad:
             keep_mask = jnp.concatenate(
                 [keep_mask, jnp.zeros((pad,), dtype=bool)]
             )
-        keep_lanes = keep_mask.reshape(self.grid, sub, LANES).astype(dtype)
+        keep_lanes = keep_mask.reshape(grid, sub, LANES).astype(dtype)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
         noise, out = pl.pallas_call(
             self._fused_kernel,
-            grid=(self.grid,),
+            grid=(grid,),
             in_specs=[
                 smem(), smem(), smem(), smem(), smem(), smem(), smem(),
                 smem(),  # the 8 shared scalar tables
                 smem(),  # shift_by
                 smem(),  # do_shift
+                smem(),  # first_shard
                 smem(),  # optimal (pre-shift)
                 smem(),  # optimal_shifted
                 pl.BlockSpec(
@@ -599,10 +686,8 @@ class PallasSampler:
                 ),  # cost channels
             ],
             out_shape=[
-                jax.ShapeDtypeStruct(
-                    (self.grid, steps, 12, sub, LANES), dtype
-                ),
-                jax.ShapeDtypeStruct((self.grid, 2, sub, LANES), dtype),
+                jax.ShapeDtypeStruct((grid, steps, 12, sub, LANES), dtype),
+                jax.ShapeDtypeStruct((grid, 2, sub, LANES), dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((12, sub, LANES), dtype),
@@ -613,6 +698,7 @@ class PallasSampler:
             *tables,
             shift_by.astype(jnp.int32).reshape(1, 1),
             do_shift.astype(jnp.int32).reshape(1, 1),
+            first_shard.astype(jnp.int32).reshape(1, 1),
             optimal.astype(dtype),
             optimal_shifted.astype(dtype),
             old,
@@ -620,42 +706,177 @@ class PallasSampler:
             keep_lanes,
         )
         costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
-        return costs[: self.rollouts], noise
+        return costs, noise
+
+    def _shard_sample(
+        self, key, keep_local, shift_by, do_shift, old_local, optimal,
+        optimal_shifted, x0, time, ctx, shard_index, sharded,
+    ):
+        """Sample + rollout ONE shard: draws the shard's fresh noise from
+        ``fold_in(key, shard)`` (placement-invariant bits), assembles in
+        lane layout, scores through the kernel. Returns ((R_local, 2)
+        costs, (G_local, S, 12, SUB, LANES) noise)."""
+        dtype = old_local.dtype
+        scale = jnp.asarray(self._diag_scale, dtype=dtype)
+        fresh = (
+            jax.random.normal(
+                jax.random.fold_in(key, shard_index), old_local.shape, dtype
+            )
+            * scale[None, None, :, None, None]
+        )
+        first = shard_index == 0
+        if self._fused_assembly:
+            costs, noise = self._fused_sample_costs(
+                old_local, fresh, keep_local, shift_by, do_shift, first,
+                optimal, optimal_shifted, x0, time, ctx,
+            )
+        else:
+            noise = lane_noise_assemble(
+                old_local, fresh, keep_local, shift_by, do_shift,
+                optimal.astype(dtype), first_shard=first,
+            )
+            controls = (
+                noise
+                + optimal_shifted.astype(dtype)[None, :, :, None, None]
+            )
+            costs = self._scenario_costs_padded(
+                controls, x0, time, ctx, sharded
+            )
+        return costs[: self.local_rollouts], noise
 
     def sample_and_rollout(
         self, key, keep_mask, shift_by, do_shift, old, optimal,
         optimal_shifted, x0, time, ctx,
     ):
-        dtype = old.dtype
-        scale = jnp.asarray(self._diag_scale, dtype=dtype)
-        fresh = (
-            jax.random.normal(key, old.shape, dtype)
-            * scale[None, None, :, None, None]
-        )
-        if self._fused_assembly:
-            return self._fused_sample_costs(
-                old, fresh, keep_mask, shift_by, do_shift, optimal,
+        if self._mesh is not None:
+            return self._sharded_sample_and_rollout(
+                key, keep_mask, shift_by, do_shift, old, optimal,
                 optimal_shifted, x0, time, ctx,
             )
-        noise = lane_noise_assemble(
-            old, fresh, keep_mask, shift_by, do_shift,
-            optimal.astype(dtype),
+        outs = []
+        for s in range(self.shards):
+            costs_s, noise_s = self._shard_sample(
+                key,
+                keep_mask[
+                    s * self.local_rollouts : (s + 1) * self.local_rollouts
+                ],
+                shift_by,
+                do_shift,
+                old[s * self.local_grid : (s + 1) * self.local_grid],
+                optimal,
+                optimal_shifted,
+                x0,
+                time,
+                ctx,
+                jnp.asarray(s, jnp.int32),
+                sharded=False,
+            )
+            outs.append((costs_s, noise_s))
+        if self.shards == 1:
+            return outs[0]
+        costs = jnp.concatenate([c for c, _ in outs], axis=0)
+        noise = jnp.concatenate([n for _, n in outs], axis=0)
+        return costs, noise
+
+    def _sharded_sample_and_rollout(
+        self, key, keep_mask, shift_by, do_shift, old, optimal,
+        optimal_shifted, x0, time, ctx,
+    ):
+        """The per-shard sampler placed one-shard-per-device with shard_map
+        (GSPMD cannot partition an opaque pallas_call). Identical math to
+        the host-loop path: fold_in(key, axis_index) reproduces the same
+        per-shard bits, and cost rows come back already sliced to R_local
+        so out_specs=P(rollout_axis) concatenates them to (R, 2)."""
+        from jax.sharding import PartitionSpec as P
+
+        axis = self._rollout_axis
+        impl = jax.random.key_impl(key)
+        keydata = jax.random.key_data(key)
+
+        ctx_spec = P()
+        if (
+            ctx is not None
+            and ctx.wrench_horizon.ndim == 3
+            and self._scenario_axis is not None
+        ):
+            from ..objectives.assisted_manipulation import ForecastContext
+
+            ctx_spec = ForecastContext(
+                wrench_horizon=P(self._scenario_axis),
+                start_time=P(),
+                time_step=P(),
+                horizon=P(),
+            )
+
+        def local(
+            keydata, keep_local, shift_by, do_shift, old_local, optimal,
+            optimal_shifted, x0, time, ctx,
+        ):
+            key = jax.random.wrap_key_data(keydata, impl=impl)
+            shard = jax.lax.axis_index(axis)
+            return self._shard_sample(
+                key, keep_local, shift_by, do_shift, old_local, optimal,
+                optimal_shifted, x0, time, ctx, shard, sharded=True,
+            )
+
+        return jax.shard_map(
+            local,
+            mesh=self._mesh,
+            in_specs=(
+                P(), P(axis), P(), P(), P(axis), P(), P(), P(), P(),
+                ctx_spec,
+            ),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )(
+            keydata, keep_mask, shift_by, do_shift, old, optimal,
+            optimal_shifted, x0, time, ctx,
         )
-        controls = (
-            noise
-            + optimal_shifted.astype(dtype)[None, :, :, None, None]
+
+    def _local_weighted_sum(self, noise_local, w_local):
+        """(G_local, S, 12, SUB, LANES) x (R_local,) -> (S, 12): pad the
+        weights to the shard's tile count and contract in lane layout."""
+        pad = (
+            noise_local.shape[0] * noise_local.shape[3]
+            * noise_local.shape[4]
+            - w_local.shape[0]
         )
-        return self._costs(controls, x0, time, ctx), noise
+        if pad:
+            w_local = jnp.concatenate(
+                [w_local, jnp.zeros((pad,), w_local.dtype)]
+            )
+        w = w_local.reshape(
+            noise_local.shape[0], noise_local.shape[3], noise_local.shape[4]
+        )
+        return jnp.einsum("gsdab,gab->sd", noise_local, w)
 
     def weighted_noise_sum(self, noise, weights):
-        pad = noise.shape[0] * noise.shape[3] * noise.shape[4] - weights.shape[0]
-        if pad:
-            weights = jnp.concatenate(
-                [weights, jnp.zeros((pad,), weights.dtype)]
-            )
-        w = weights.reshape(
-            noise.shape[0], noise.shape[3], noise.shape[4]
+        if self._mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            axis = self._rollout_axis
+
+            def local(noise_local, w_local):
+                return jax.lax.psum(
+                    self._local_weighted_sum(noise_local, w_local), axis
+                )
+
+            return jax.shard_map(
+                local,
+                mesh=self._mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=P(),
+                check_vma=False,
+            )(noise, weights)
+        if self.shards == 1:
+            return self._local_weighted_sum(noise, weights)
+        # Host-loop layout: per-shard padded weights, one full contraction.
+        tile = self.sublanes * LANES
+        w = jnp.zeros((self.shards, self.local_grid * tile), weights.dtype)
+        w = w.at[:, : self.local_rollouts].set(
+            weights.reshape(self.shards, self.local_rollouts)
         )
+        w = w.reshape(self.grid, self.sublanes, LANES)
         return jnp.einsum("gsdab,gab->sd", noise, w)
 
 
@@ -671,6 +892,10 @@ def make_pallas_planner(
     rollout_fn_wrapper=None,
     fused_sampling: bool = False,
     fused_assembly: bool = False,
+    mesh=None,
+    rollout_axis: str = "rollouts",
+    scenario_axis: Optional[str] = None,
+    sampler_shards: int = 1,
 ):
     """Planner with the assisted-manipulation objective on the fused Pallas
     rollout kernel (cost channels identical to the lanes / vmap paths).
@@ -678,12 +903,23 @@ def make_pallas_planner(
     ``filter_fn`` forwards to Planner (the QP safety filter,
     safety.make_safety_filter). ``rollout_fn_wrapper`` post-processes the
     rollout evaluator — e.g. parallel.sharding.shard_rollout_fn to place the
-    kernel per-device over a mesh (GSPMD cannot partition a pallas_call).
+    kernel per-device over a mesh (GSPMD cannot partition a pallas_call);
+    only meaningful on the non-fused path (fused_sampling owns its own
+    shard_map placement via ``mesh``).
 
     ``fused_sampling`` hands noise sampling/assembly to PallasSampler: the
     noise tensor lives in the kernel's lane layout end to end (no relayout
     pass, ~10% of the solve on v5e — PERF.md). Requires a diagonal MPPI
-    covariance and no rollout_fn_wrapper (the sampler is placed whole)."""
+    covariance. With ``mesh`` the sampler partitions the rollout batch into
+    one shard per device on ``rollout_axis`` (scenario ensembles over
+    ``scenario_axis`` on a 2-D mesh); ``sampler_shards`` forces the same
+    per-shard layout WITHOUT a mesh — the single-device twin of an n-way
+    sharded run, bit-identical noise (used by dryrun cross-checks).
+
+    Note ``fused_assembly=True`` clamps sublanes to 8 (three horizon-sized
+    VMEM blocks per grid program must fit the ~16 MB VMEM budget); a larger
+    requested value is silently reduced, so A/B configs should compare at
+    equal effective sublanes (PallasSampler docstring)."""
     from .. import mppi as mppi_module
     from ..models.model_data import frankaridgeback_model
     from ..objectives.assisted_manipulation import AssistedManipulation
@@ -697,7 +933,7 @@ def make_pallas_planner(
         if rollout_fn_wrapper is not None:
             raise ValueError(
                 "fused_sampling owns the rollout; it cannot compose with a "
-                "rollout_fn_wrapper (use the non-fused path under shard_map)"
+                "rollout_fn_wrapper (pass mesh= for sharded placement)"
             )
         covariance = np.asarray(mppi_configuration.covariance, np.float64)
         if covariance.ndim == 1:
@@ -716,6 +952,10 @@ def make_pallas_planner(
             sublanes=sublanes,
             interpret=interpret,
             fused_assembly=fused_assembly,
+            shards=sampler_shards,
+            mesh=mesh,
+            rollout_axis=rollout_axis,
+            scenario_axis=scenario_axis,
         )
         return mppi_module.Planner(
             mppi_configuration, plant, sampler=sampler, filter_fn=filter_fn

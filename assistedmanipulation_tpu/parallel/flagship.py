@@ -109,6 +109,7 @@ def build_flagship(
     sublanes: Optional[int] = None,
     rng_impl: str = "rbg",
     fused_sampling: Optional[bool] = None,
+    sampler_shards: int = 1,
 ) -> Flagship:
     """Compose the flagship planner.
 
@@ -170,22 +171,37 @@ def build_flagship(
         if sublanes is None:
             local_rollouts = rollout_count // rollout_axis_size
             sublanes = max(1, min(16, local_rollouts // LANES))
-        planner = make_pallas_planner(
-            configuration,
-            sublanes=sublanes,
-            interpret=interpret,
-            filter_fn=filter_fn,
-            rollout_fn_wrapper=wrapper,
-            # Lane-layout fused sampling (PallasSampler) on the unsharded
-            # single-scenario serving path; the sharded path keeps the
-            # logical layout (the sampler isn't shard_map-placed yet) and
-            # scenario ensembles consume the rollout_fn wrapper. Pass
-            # fused_sampling=False to force the logical layout (e.g. for
-            # the noise_override parity hook, scripts/tpu_crosscheck.py).
-            fused_sampling=(
-                wrapper is None if fused_sampling is None else fused_sampling
-            ),
-        )
+        # Lane-layout fused sampling (PallasSampler) is the default pallas
+        # composition everywhere: unsharded serving, shard_map-placed under
+        # a 1-D rollout mesh or 2-D scenario x rollout mesh, and scenario
+        # ensembles (the sampler scores the risk-neutral scenario mean
+        # in-layout) — the bench path and the multichip path are the SAME
+        # program. Pass fused_sampling=False to force the logical layout
+        # (e.g. for the noise_override parity hook,
+        # scripts/tpu_crosscheck.py).
+        if fused_sampling is None:
+            fused_sampling = True
+        if fused_sampling:
+            planner = make_pallas_planner(
+                configuration,
+                sublanes=sublanes,
+                interpret=interpret,
+                filter_fn=filter_fn,
+                fused_sampling=True,
+                mesh=mesh,
+                rollout_axis=ROLLOUT_AXIS,
+                scenario_axis=scenario_axis,
+                sampler_shards=sampler_shards,
+            )
+        else:
+            planner = make_pallas_planner(
+                configuration,
+                sublanes=sublanes,
+                interpret=interpret,
+                filter_fn=filter_fn,
+                rollout_fn_wrapper=wrapper,
+                fused_sampling=False,
+            )
     elif backend == "lanes":
         from ..kernels.lane_rollout import make_lanes_planner
 

@@ -95,14 +95,18 @@ class Episode:
         dtype=jnp.float32,
         collect_logs: bool = False,
         filter_fn=None,
+        model=None,
     ):
+        """``model`` overrides the robot model (e.g. a
+        ``frankaridgeback_model()._replace(friction=...)`` variant for
+        plant-parameter sweeps, scripts/force_offset_sweep.py)."""
         self.episode = episode or EpisodeConfiguration()
         if collect_logs and not self.episode.assisted:
             raise ValueError("collect_logs requires an assisted episode")
         self.collect_logs = collect_logs
         self._filter_fn = filter_fn
         self.dtype = dtype
-        self.model = frankaridgeback_model()
+        self.model = model if model is not None else frankaridgeback_model()
         self.robot_configuration = robot_configuration or fr.Configuration()
         _, self._kp, self._kd = self.robot_configuration.resolve()
         # The dynamics-backend seam the reference's SimulatorDynamics type

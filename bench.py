@@ -27,6 +27,7 @@ a jax.profiler trace of the timed iterations (SURVEY §5.1).
 
 import json
 import os
+import statistics
 import time
 
 import jax
@@ -68,14 +69,20 @@ def main():
     # link every iteration, serializing dispatch — measured at ~1.3 ms/solve
     # of pure host stall at 10k x 50 on v5e. A real servo loop pre-stages
     # its tick times (or runs the whole episode on device, sim/episode.py).
+    # Parsed once; reused for the times list and the timing loop below so
+    # the two can never drift apart. Odd counts give a true median.
+    blocks = int(os.environ.get("BENCH_BLOCKS", 3))
     times = [
         jnp.asarray(0.01 * (i + 1), dtype=jnp.float32)
-        for i in range(iterations * int(os.environ.get("BENCH_BLOCKS", 3)))
+        for i in range(iterations * blocks)
     ]
     jax.block_until_ready(times[-1])
 
-    # Warm up / compile.
-    state, _ = flagship.update(state, x0, 0.0, ctx)
+    # Warm up / compile (staged device time: same jit signature as the
+    # timed loop).
+    state, _ = flagship.update(
+        state, x0, jnp.asarray(0.0, dtype=jnp.float32), ctx
+    )
     jax.block_until_ready(state.optimal_control)
 
     profile_dir = os.environ.get("BENCH_PROFILE")
@@ -86,7 +93,6 @@ def main():
     # (contention on the shared runtime): time BENCH_BLOCKS independent
     # blocks and report the median block's rate rather than one long
     # average, so a transient stall doesn't masquerade as a regression.
-    blocks = int(os.environ.get("BENCH_BLOCKS", 3))
     rates = []
     tick = 0
     for _ in range(blocks):
@@ -100,7 +106,7 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
-    solves_per_second = sorted(rates)[len(rates) // 2]
+    solves_per_second = statistics.median(rates)
     rollouts_per_second = solves_per_second * planner.rollout_count
 
     flops = solve_flops(planner.rollout_count, steps) * max(1, scenarios)

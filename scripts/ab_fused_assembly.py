@@ -62,7 +62,12 @@ def main():
     for name, fused in (("two_pass", False), ("fused", True)):
         planner, ctx, x0 = build(fused)
         state = planner.init(seed=0)
-        state, _ = planner.update(state, x0, 0.0, ctx)
+        # Warm up with a STAGED device scalar: a Python-float time would
+        # compile a different jit signature than the timed loop's traced
+        # arrays, so rep 0 of each arm would absorb a retrace (ADVICE r3).
+        state, _ = planner.update(
+            state, x0, jnp.asarray(0.0, dtype=jnp.float32), ctx
+        )
         jax.block_until_ready(state.optimal_control)
         arms[name] = dict(planner=planner, ctx=ctx, x0=x0, state=state,
                           rates=[])

@@ -15,13 +15,27 @@ tick semantics) advances as ONE jitted scan per control period: it is not
 part of the latency contract, and running it as a per-op host loop through
 a tunneled device link would measure network round-trips, not the solver.
 
-Writes realtime.json {p50, p90, p99, max, histogram} into --out and exits
-nonzero if p99 >= 50 ms.
+Deadline accounting (VERDICT r3 weak #4): every update over the 50 ms slot
+is a DEADLINE MISS — the reference's raisim::TimedLoop would silently drop
+the tick (base.cpp:157); we count them instead. Each miss is attributed:
+the latency splits into host dispatch time (Python + trace + enqueue) vs
+device block time (execution + tunnel round-trip), and Python GC
+collections overlapping the update are flagged — so a 100 ms outlier reads
+as "tunnel/device stall" (block-dominated, no GC) or "host stall"
+(dispatch-dominated or GC-flagged).
 
-Usage: python scripts/realtime_check.py [--duration 12.0] [--out /tmp/rt]
+Writes realtime.json {p50, p90, p99, max, histogram, deadline_misses,
+miss_rate, misses[]} into --out. The gate is NOT just p99: ok requires
+p99 < 50 ms AND miss rate <= 1% AND max < 4x budget (a catastrophic-stall
+detector that still tolerates the tunneled chip's occasional scheduling
+hiccup — a hard-realtime deployment on a local PCIe chip would gate
+max < budget outright).
+
+Usage: python scripts/realtime_check.py [--duration 60.0] [--out /tmp/rt]
 """
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -32,11 +46,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BUDGET_S = 0.050
+MAX_BUDGET_S = 0.200  # catastrophic-stall gate (4x slot)
+MISS_RATE_LIMIT = 0.01
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--duration", type=float, default=12.0)
+    parser.add_argument("--duration", type=float, default=60.0)
     parser.add_argument("--out", default="/tmp/realtime_check")
     args = parser.parse_args()
 
@@ -148,27 +164,84 @@ def main():
     ]
     jax.block_until_ready(times[-1])
 
-    latencies = []
-    for i in range(updates):
-        t = times[i]
-        start = time.perf_counter()
-        planner_state = update_jit(planner_state, x, strategy_state, t)
-        jax.block_until_ready(planner_state.optimal_control)
-        latencies.append(time.perf_counter() - start)
-        x, strategy_state, pid_state = advance_jit(
-            x, planner_state, strategy_state, pid_state, t
-        )
+    # GC observation: flag updates a collection overlapped (host-stall
+    # attribution; gen-2 collections run milliseconds).
+    gc_spans = []
+    gc_start = [None]
 
-    jax.block_until_ready(x)
+    def gc_callback(phase, info):
+        now = time.perf_counter()
+        if phase == "start":
+            gc_start[0] = now
+        elif gc_start[0] is not None:
+            gc_spans.append((gc_start[0], now, info.get("generation")))
+            gc_start[0] = None
+
+    gc.callbacks.append(gc_callback)
+
+    latencies = []
+    dispatch_times = []
+    block_times = []
+    starts = []
+    wall0 = time.perf_counter()
+    try:
+        for i in range(updates):
+            t = times[i]
+            start = time.perf_counter()
+            planner_state = update_jit(planner_state, x, strategy_state, t)
+            dispatched = time.perf_counter()
+            jax.block_until_ready(planner_state.optimal_control)
+            end = time.perf_counter()
+            starts.append(start)
+            latencies.append(end - start)
+            dispatch_times.append(dispatched - start)
+            block_times.append(end - dispatched)
+            x, strategy_state, pid_state = advance_jit(
+                x, planner_state, strategy_state, pid_state, t
+            )
+        jax.block_until_ready(x)
+    finally:
+        gc.callbacks.remove(gc_callback)
 
     # Skip the first update (compile/cache-load, not the steady state the
     # 20 Hz contract covers).
     steady = np.asarray(latencies[1:])
     edges = [0.0, 0.005, 0.010, 0.020, 0.030, 0.040, 0.050, 0.100, np.inf]
     histogram, _ = np.histogram(steady, bins=edges)
+
+    # Deadline misses with per-miss attribution.
+    misses = []
+    for i in range(1, updates):
+        if latencies[i] < BUDGET_S:
+            continue
+        s, e = starts[i], starts[i] + latencies[i]
+        gc_during = [
+            gen for (g0, g1, gen) in gc_spans if g0 < e and g1 > s
+        ]
+        dispatch_ms = dispatch_times[i] * 1e3
+        block_ms = block_times[i] * 1e3
+        if gc_during and dispatch_ms > block_ms:
+            cause = f"host GC (gen {max(gc_during)}) during dispatch"
+        elif dispatch_ms > block_ms:
+            cause = "host dispatch stall (Python/trace/enqueue)"
+        else:
+            cause = "device-side stall (tunnel round-trip or chip contention)"
+        misses.append(
+            {
+                "update": i,
+                "wall_offset_s": round(starts[i] - wall0, 2),
+                "latency_ms": round(latencies[i] * 1e3, 2),
+                "dispatch_ms": round(dispatch_ms, 2),
+                "block_ms": round(block_ms, 2),
+                "gc_generations_overlapping": gc_during,
+                "attribution": cause,
+            }
+        )
+
     report = {
         "platform": jax.default_backend(),
         "updates": int(steady.size),
+        "duration_s": args.duration,
         "rollouts": planner.rollout_count,
         "steps": planner.steps,
         "controller_period_s": configuration.controller_rate,
@@ -180,10 +253,17 @@ def main():
         "first_update_ms": round(latencies[0] * 1e3, 1),
         "histogram_edges_s": edges[:-1] + ["inf"],
         "histogram_counts": histogram.tolist(),
+        "deadline_misses": len(misses),
+        "miss_rate": round(len(misses) / max(1, steady.size), 5),
+        "misses": misses,
+        "gc_collections_observed": len(gc_spans),
         "final_state_finite": bool(np.isfinite(np.asarray(x)).all()),
     }
     report["ok"] = (
-        report["p99_ms"] < BUDGET_S * 1e3 and report["final_state_finite"]
+        report["p99_ms"] < BUDGET_S * 1e3
+        and report["miss_rate"] <= MISS_RATE_LIMIT
+        and report["max_ms"] < MAX_BUDGET_S * 1e3
+        and report["final_state_finite"]
     )
 
     os.makedirs(args.out, exist_ok=True)

