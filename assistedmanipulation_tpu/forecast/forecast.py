@@ -173,6 +173,16 @@ class KalmanForecastConfiguration:
     horizon: float = 0.3
     variance: Optional[np.ndarray] = None  # (observed_states,) — see note
     initial_state: Optional[np.ndarray] = None
+    # Honest noise model (no reference equivalent — the reference pins both
+    # covariances at 1e-8 I and ignores `variance`, forecast.cpp:277-286,
+    # leaving the posterior degenerate ~1e-4 N: fine for the mean forecast,
+    # useless for the scenario-ensemble sampling in forecast/scenarios.py).
+    # When set, these scale the observation / transition covariances so the
+    # filter posterior reflects real measurement noise and model mismatch,
+    # giving sample_scenarios a non-degenerate ensemble. None = reference
+    # 1e-8 parity.
+    observation_variance: Optional[float] = None
+    transition_variance: Optional[float] = None
 
     @property
     def steps(self) -> int:
@@ -207,13 +217,19 @@ class KalmanForecast:
         c = configuration
         self.configuration = c
         n = c.states
+        observation_variance = (
+            1e-8 if c.observation_variance is None else c.observation_variance
+        )
+        transition_variance = (
+            1e-8 if c.transition_variance is None else c.transition_variance
+        )
         self.spec = KalmanSpec(
             state_transition=euler_state_transition_matrix(
                 c.time_step, c.observed_states, c.order
             ),
-            transition_covariance=np.eye(n) * 1e-8,
+            transition_covariance=np.eye(n) * transition_variance,
             observation=np.eye(n),
-            observation_covariance=np.eye(n) * 1e-8,
+            observation_covariance=np.eye(n) * observation_variance,
         ).validate()
 
     def init(self, dtype=jnp.float32) -> KalmanForecastState:

@@ -239,6 +239,150 @@ def _fused_sample_rollout_kernel(
     jax.lax.fori_loop(0, steps, body, 0, unroll=_KERNEL_UNROLL)
 
 
+def _inkernel_rng_sample_rollout_kernel(
+    # SMEM scalar tables (same for every grid program):
+    q0_ref,  # (12, 1)
+    v0_ref,  # (12, 1)
+    energy_ref,  # (1, 1)
+    target_ref,  # (S, 3)
+    inv2_ref,  # (S, 1)
+    pcost_ref,  # (S, 1)
+    vtarget_ref,  # (S, 1)
+    disc_ref,  # (S, 1)
+    shift_ref,  # (1, 1) int32: horizon shift (mppi.cpp:194)
+    doshift_ref,  # (1, 1) int32: 0/1 shift gate
+    first_ref,  # (1, 1) int32: 1 iff this shard holds rollouts 0/1
+    seed_ref,  # (2, 1) int32: per-solve PRNG seed words
+    scale_ref,  # (12, 1) noise standard deviation per dof
+    optimal_ref,  # (S, 12) pre-shift optimal (static rollout 1)
+    optshift_ref,  # (S, 12) shifted optimal (u = noise + this)
+    # VMEM blocks (per grid program):
+    old_ref,  # (S, 12, SUBLANES, LANES) previous noise tile
+    keep_ref,  # (SUBLANES, LANES) elite keep mask (1.0 kept)
+    # Outputs:
+    noise_ref,  # (S, 12, SUBLANES, LANES) assembled noise tile
+    out_ref,  # (2, SUBLANES, LANES) cost channels
+    # VMEM scratch:
+    q_ref,  # (12, SUBLANES, LANES)
+    v_ref,  # (12, SUBLANES, LANES)
+    *,
+    model: RobotModel,
+    objective_cfg: ObjectiveConfiguration,
+    kp: np.ndarray,
+    kd: np.ndarray,
+    steps: int,
+    dt: float,
+    sublanes: int,
+):
+    """The fused sample+rollout kernel with the fresh N(0, diag) draws
+    generated IN KERNEL from the TPU's per-core PRNG (pltpu.prng_seed /
+    prng_random_bits) via Box-Muller, instead of streamed from HBM.
+
+    Removes the separate RngBitGenerator pass (~80 us/solve at 10k x 50,
+    PERF.md) and the 12 MB fresh-noise HBM stream, at the price of
+    ~6 log/sin/cos/sqrt transcendental pairs per (step, tile) inside an
+    already VPU-bound kernel. Distribution-level parity only (the
+    reference samples serial mt19937, mppi.cpp:250-261; this framework's
+    counter-based streams are already a distribution-level match) — the
+    bits differ from the host threefry/rbg paths by construction.
+    TPU-only: the per-core PRNG has no interpret-mode lowering, so CPU
+    tests cover the surrounding assembly via the streamed-fresh kernels
+    and the on-TPU distribution check lives in scripts/tpu_crosscheck.py.
+    """
+    shape = (sublanes, LANES)
+    dtype = old_ref.dtype
+
+    for i in range(12):
+        q_ref[i] = jnp.full(shape, q0_ref[i, 0], dtype=dtype)
+        v_ref[i] = jnp.full(shape, v0_ref[i, 0], dtype=dtype)
+    out_ref[0] = jnp.zeros(shape, dtype=dtype)
+    out_ref[1] = jnp.zeros(shape, dtype=dtype)
+    energy = jnp.full(shape, energy_ref[0, 0], dtype=dtype)
+
+    g = pl.program_id(0)
+    row = (
+        g * (sublanes * LANES)
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    )
+    first = first_ref[0, 0] != 0
+    row0 = (row == 0) & first
+    row1 = (row == 1) & first
+    keep = keep_ref[...] != jnp.zeros((), dtype=dtype)
+    shift = shift_ref[0, 0]
+    do_shift = doshift_ref[0, 0] != 0
+    zero = jnp.zeros(shape, dtype=dtype)
+
+    # One PRNG stream per grid program: the per-solve seed words with the
+    # program id folded into the first (Mosaic caps prng_seed at 2 words).
+    # Sequential prng_random_bits calls advance the stream.
+    pltpu.prng_seed(seed_ref[0, 0] + g, seed_ref[1, 0])
+
+    def uniform():
+        """(sublanes, LANES) uniforms in (0, 1]: mantissa-fill bitcast."""
+        bits = pltpu.prng_random_bits(shape)
+        mant = jax.lax.bitwise_or(
+            jax.lax.shift_right_logical(
+                pltpu.bitcast(bits, jnp.uint32), jnp.uint32(9)
+            ),
+            jnp.uint32(0x3F800000),
+        )
+        return 2.0 - jax.lax.bitcast_convert_type(mant, jnp.float32)
+
+    def body(s, _):
+        # Box-Muller pairs: 6 pairs cover the 12 dofs.
+        fresh = []
+        for _pair in range(6):
+            u1 = uniform()
+            u2 = uniform()
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            theta = (2.0 * np.pi) * u2
+            fresh.append(r * jnp.cos(theta))
+            fresh.append(r * jnp.sin(theta))
+
+        sidx = jnp.minimum(s + shift, steps - 1)
+        tail = s >= steps - shift
+        old_shifted = old_ref[sidx]
+        old_s = old_ref[s]
+        u = []
+        for d in range(12):
+            fresh_d = (fresh[d] * scale_ref[d, 0]).astype(dtype)
+            kept = jnp.where(tail, fresh_d, old_shifted[d])
+            kept = jnp.where(do_shift, kept, old_s[d])
+            sampled = jnp.where(keep, kept, fresh_d)
+            n = jnp.where(
+                row0, zero, jnp.where(row1, -optimal_ref[s, d], sampled)
+            )
+            noise_ref[s, d] = n
+            u.append(n + optshift_ref[s, d])
+        q = [q_ref[i] for i in range(12)]
+        v = [v_ref[i] for i in range(12)]
+        step_viol, step_smooth, q_next, v_next = step_cost_and_dynamics(
+            model,
+            objective_cfg,
+            kp,
+            kd,
+            q,
+            v,
+            u,
+            energy,
+            [target_ref[s, 0], target_ref[s, 1], target_ref[s, 2]],
+            inv2_ref[s, 0],
+            pcost_ref[s, 0],
+            vtarget_ref[s, 0],
+            dt,
+        )
+        disc = disc_ref[s, 0]
+        for i in range(12):
+            q_ref[i] = q_next[i]
+            v_ref[i] = v_next[i]
+        out_ref[0] += disc * step_viol
+        out_ref[1] += disc * step_smooth
+        return 0
+
+    jax.lax.fori_loop(0, steps, body, 0, unroll=_KERNEL_UNROLL)
+
+
 def make_pallas_rollout_fn(
     model: RobotModel,
     objective_cfg: ObjectiveConfiguration,
@@ -470,8 +614,11 @@ class PallasSampler:
         mesh=None,
         rollout_axis: str = "rollouts",
         scenario_axis: Optional[str] = None,
+        inkernel_rng: bool = False,
     ):
         _, kp, kd = robot_cfg.resolve()
+        if inkernel_rng:
+            fused_assembly = True  # the RNG lives in the fused kernel
         if fused_assembly:
             sublanes = min(sublanes, 8)
         if mesh is not None:
@@ -502,8 +649,14 @@ class PallasSampler:
         self._diag_scale = np.asarray(diag_scale, np.float64)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if inkernel_rng and interpret:
+            raise ValueError(
+                "inkernel_rng uses the TPU per-core PRNG (pltpu.prng_seed) "
+                "which has no interpret-mode lowering; TPU only"
+            )
         self._interpret = interpret
         self._fused_assembly = fused_assembly
+        self._inkernel_rng = inkernel_rng
         statics = dict(
             model=model,
             objective_cfg=objective_cfg,
@@ -516,6 +669,9 @@ class PallasSampler:
         self._kernel = functools.partial(_rollout_kernel, **statics)
         self._fused_kernel = functools.partial(
             _fused_sample_rollout_kernel, **statics
+        )
+        self._inkernel_kernel = functools.partial(
+            _inkernel_rng_sample_rollout_kernel, **statics
         )
         self._objective_cfg = objective_cfg
         self._discount = discount
@@ -708,6 +864,95 @@ class PallasSampler:
         costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
         return costs, noise
 
+    def _inkernel_sample_costs(
+        self, key, old, keep_mask, shift_by, do_shift, first_shard,
+        optimal, optimal_shifted, x0, time, ctx,
+    ):
+        """One shard through the in-kernel-PRNG fused kernel: fresh noise
+        is generated on the core (seeded from ``key``), never exists in
+        HBM."""
+        if ctx is not None and ctx.wrench_horizon.ndim == 3:
+            raise ValueError(
+                "inkernel_rng cannot score a scenario-ensemble ctx"
+            )
+        dtype = old.dtype
+        steps = self.steps
+        sub = self.sublanes
+        grid = old.shape[0]
+        tables = self._scalar_tables(dtype, x0, time, ctx)
+        pad = grid * sub * LANES - keep_mask.shape[0]
+        if pad:
+            keep_mask = jnp.concatenate(
+                [keep_mask, jnp.zeros((pad,), dtype=bool)]
+            )
+        keep_lanes = keep_mask.reshape(grid, sub, LANES).astype(dtype)
+        seed_words = jax.lax.bitcast_convert_type(
+            jax.random.bits(key, (2,), jnp.uint32), jnp.int32
+        ).reshape(2, 1)
+        scale = jnp.asarray(self._diag_scale, dtype=jnp.float32).reshape(
+            12, 1
+        )
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+        noise, out = pl.pallas_call(
+            self._inkernel_kernel,
+            grid=(grid,),
+            in_specs=[
+                smem(), smem(), smem(), smem(), smem(), smem(), smem(),
+                smem(),  # the 8 shared scalar tables
+                smem(),  # shift_by
+                smem(),  # do_shift
+                smem(),  # first_shard
+                smem(),  # seed words
+                smem(),  # noise scale
+                smem(),  # optimal (pre-shift)
+                smem(),  # optimal_shifted
+                pl.BlockSpec(
+                    (None, steps, 12, sub, LANES),
+                    lambda g: (g, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # old noise
+                pl.BlockSpec(
+                    (None, sub, LANES),
+                    lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # keep mask
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (None, steps, 12, sub, LANES),
+                    lambda g: (g, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # assembled noise
+                pl.BlockSpec(
+                    (None, 2, sub, LANES),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # cost channels
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((grid, steps, 12, sub, LANES), dtype),
+                jax.ShapeDtypeStruct((grid, 2, sub, LANES), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((12, sub, LANES), dtype),
+                pltpu.VMEM((12, sub, LANES), dtype),
+            ],
+            interpret=self._interpret,
+        )(
+            *tables,
+            shift_by.astype(jnp.int32).reshape(1, 1),
+            do_shift.astype(jnp.int32).reshape(1, 1),
+            first_shard.astype(jnp.int32).reshape(1, 1),
+            seed_words,
+            scale,
+            optimal.astype(dtype),
+            optimal_shifted.astype(dtype),
+            old,
+            keep_lanes,
+        )
+        costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
+        return costs, noise
+
     def _shard_sample(
         self, key, keep_local, shift_by, do_shift, old_local, optimal,
         optimal_shifted, x0, time, ctx, shard_index, sharded,
@@ -717,6 +962,14 @@ class PallasSampler:
         lane layout, scores through the kernel. Returns ((R_local, 2)
         costs, (G_local, S, 12, SUB, LANES) noise)."""
         dtype = old_local.dtype
+        first = shard_index == 0
+        if self._inkernel_rng:
+            costs, noise = self._inkernel_sample_costs(
+                jax.random.fold_in(key, shard_index), old_local, keep_local,
+                shift_by, do_shift, first, optimal, optimal_shifted, x0,
+                time, ctx,
+            )
+            return costs[: self.local_rollouts], noise
         scale = jnp.asarray(self._diag_scale, dtype=dtype)
         fresh = (
             jax.random.normal(
@@ -724,7 +977,6 @@ class PallasSampler:
             )
             * scale[None, None, :, None, None]
         )
-        first = shard_index == 0
         if self._fused_assembly:
             costs, noise = self._fused_sample_costs(
                 old_local, fresh, keep_local, shift_by, do_shift, first,
@@ -896,6 +1148,7 @@ def make_pallas_planner(
     rollout_axis: str = "rollouts",
     scenario_axis: Optional[str] = None,
     sampler_shards: int = 1,
+    inkernel_rng: bool = False,
 ):
     """Planner with the assisted-manipulation objective on the fused Pallas
     rollout kernel (cost channels identical to the lanes / vmap paths).
@@ -956,6 +1209,7 @@ def make_pallas_planner(
             mesh=mesh,
             rollout_axis=rollout_axis,
             scenario_axis=scenario_axis,
+            inkernel_rng=inkernel_rng,
         )
         return mppi_module.Planner(
             mppi_configuration, plant, sampler=sampler, filter_fn=filter_fn

@@ -74,10 +74,22 @@ class EpisodeConfiguration:
     forecast_horizon: float = 0.3
     wrench_enabled: bool = True  # False = "unassisted-of-wrench" base run
     # False = the "unassisted" rows of the reference experiment tables
-    # (analysis.py:439-460): the controller is off (zero commands, so the
-    # PD base/gripper hold and the arm gets gravity compensation only) and
-    # the human model must move the robot alone.
+    # (analysis.py:439-460): no wrench forecast reaches the planner, so the
+    # trajectory/assistance term is zero (assisted_manipulation.cpp:237-240
+    # returns 0 without a forecast) and the human gets no intent-directed
+    # help.
     assisted: bool = True
+    # Whether the MPPI controller runs at all. In the reference the
+    # controller ALWAYS runs — an unassisted run still optimizes the
+    # posture terms (velocity redistribution, manipulability, limits), so
+    # the base actively follows a dragged arm (actor.cpp:166-203 has no
+    # off-switch). False = plant-only (zero commands: PD holds the
+    # base/gripper, the arm is gravity-compensated) — a harsher condition
+    # with no reference analog, kept for plant-isolation diagnostics
+    # (scripts/force_offset_sweep.py measured it at +19-23% human force:
+    # circle 33.2 N off vs 27.8 on, ref 24.8; rectangle 42.7 vs 38.3,
+    # ref 34.2).
+    controller_enabled: bool = True
 
 
 class Episode:
@@ -195,13 +207,20 @@ class Episode:
 
             fire = jnp.asarray(False)
             update_extras = None
-            if self.episode.assisted:
+            if self.episode.controller_enabled:
                 # Controller update at the rate division (actor.cpp:172-192).
                 def do_update(operand):
                     planner_state, x, strategy_state = operand
-                    rollout, ctx = forecaster.forecast(
-                        x, t, lambda tq: strategy.forecast(strategy_state, tq)
-                    )
+                    if self.episode.assisted:
+                        rollout, ctx = forecaster.forecast(
+                            x, t,
+                            lambda tq: strategy.forecast(strategy_state, tq),
+                        )
+                    else:
+                        # No forecast: the trajectory/assistance term is
+                        # inactive (assisted_manipulation.cpp:237-240), the
+                        # posture terms still optimize.
+                        rollout, ctx = None, None
                     new_state, info = planner._update_impl(planner_state, x, t, ctx)
                     return new_state, (info, new_state.optimal_control, rollout)
 

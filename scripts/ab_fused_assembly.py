@@ -1,9 +1,18 @@
-"""A/B the fused-assembly kernel vs the two-pass sampler on one chip.
+"""A/B sampler variants back-to-back on one chip.
 
 The tunneled chip shows large run-to-run variance (556-1005 solves/s on the
 same commit), so configurations are compared back-to-back in ONE process
-with interleaved repetitions: A B A B ... Each rep times ITERS solves after
-a shared warmup. Prints per-rep rates and the median per arm.
+with interleaved repetitions: A B C A B C ... Each rep times ITERS solves
+after a shared warmup. Prints per-rep rates and the median per arm.
+
+Arms (select with AB_ARMS, comma-separated; default two_pass,fused):
+- ``two_pass``: host rbg draws + separate lane assembly pass (the shipping
+  default, 16 sublanes).
+- ``fused``: assembly fused into the rollout kernel (8 sublanes, VMEM).
+- ``inkernel``: fresh noise generated inside the kernel from the TPU
+  per-core PRNG via Box-Muller (8 sublanes; removes the rng-bit stream
+  and the fresh-noise HBM traffic, adds VPU transcendentals — VERDICT r3
+  item 5; TPU-only).
 """
 
 import json
@@ -19,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build(fused_assembly: bool):
+def build(fused_assembly: bool, inkernel_rng: bool = False):
     from assistedmanipulation_tpu.kernels.pallas_rollout import (
         make_pallas_planner,
     )
@@ -39,6 +48,7 @@ def build(fused_assembly: bool):
         cfg,
         fused_sampling=True,
         fused_assembly=fused_assembly,
+        inkernel_rng=inkernel_rng,
         sublanes=int(os.environ.get("AB_SUBLANES", "16")),
     )
     ctx = ForecastContext(
@@ -58,9 +68,16 @@ def main():
     iters = int(os.environ.get("AB_ITERS", "100"))
     reps = int(os.environ.get("AB_REPS", "4"))
 
+    specs = {
+        "two_pass": dict(fused_assembly=False),
+        "fused": dict(fused_assembly=True),
+        "inkernel": dict(fused_assembly=True, inkernel_rng=True),
+    }
+    arm_names = os.environ.get("AB_ARMS", "two_pass,fused").split(",")
+
     arms = {}
-    for name, fused in (("two_pass", False), ("fused", True)):
-        planner, ctx, x0 = build(fused)
+    for name in arm_names:
+        planner, ctx, x0 = build(**specs[name])
         state = planner.init(seed=0)
         # Warm up with a STAGED device scalar: a Python-float time would
         # compile a different jit signature than the timed loop's traced
@@ -74,13 +91,13 @@ def main():
 
     times = [
         jnp.asarray(0.01 * (i + 1), dtype=jnp.float32)
-        for i in range(iters * reps * 2)
+        for i in range(iters * reps * len(arms))
     ]
     jax.block_until_ready(times[-1])
 
     tick = 0
     for rep in range(reps):
-        for name in ("two_pass", "fused"):
+        for name in arm_names:
             arm = arms[name]
             state = arm["state"]
             t0 = time.perf_counter()

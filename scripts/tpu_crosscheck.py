@@ -108,6 +108,78 @@ def main():
         ):
             ok = False
 
+    # In-kernel PRNG distribution check (VERDICT r3 item 5): the TPU-only
+    # Box-Muller sampler (_inkernel_rng_sample_rollout_kernel) must draw
+    # N(0, diag) at the engine's covariance scale. Interpret mode cannot
+    # run it (pltpu.prng_seed has no CPU lowering), so the distribution
+    # gate lives here, on hardware.
+    from assistedmanipulation_tpu.kernels.pallas_rollout import (
+        make_pallas_planner,
+    )
+    from assistedmanipulation_tpu.parallel.flagship import (
+        default_mppi_configuration,
+    )
+    import jax.numpy as jnp
+
+    import dataclasses as _dc
+
+    # keep_best_rollouts=0 so every sampled row is a FRESH in-kernel draw:
+    # with elite reuse on, 20% of rows carry prior-update noise (zeros
+    # after update 1 — measured variance exactly 0.8 sigma^2 — and
+    # low-cost-SELECTED draws thereafter), which is assembly semantics,
+    # not the PRNG under test.
+    planner = make_pallas_planner(
+        _dc.replace(
+            default_mppi_configuration(sampled, STEPS),
+            keep_best_rollouts=0,
+        ),
+        fused_sampling=True,
+        inkernel_rng=True,
+        sublanes=8,
+    )
+    state = planner.init(seed=0)
+    flagship_ctx = build_flagship(
+        rollouts=sampled, steps=STEPS, backend="pallas"
+    ).make_ctx()
+    x0 = jnp.asarray(fr.make_state("huddled"), jnp.float32)
+    state, _ = planner.update(
+        state, x0, jnp.asarray(0.0, jnp.float32), flagship_ctx
+    )
+    jax.block_until_ready(state.noise)
+    lane = np.asarray(state.noise, dtype=np.float64)
+    flat = lane.transpose(0, 3, 4, 1, 2).reshape(-1, STEPS, 12)[
+        mppi_module.STATIC_ROLLOUTS : ROLLOUTS
+    ]
+    dist = {"per_dof": [], "ok": True}
+    for d in range(12):
+        expected = float(scale[d])
+        z = flat[:, :, d].ravel()
+        got_std = float(z.std())
+        entry = {
+            "dof": d,
+            "mean": round(float(z.mean()), 5),
+            "std": round(got_std, 5),
+            "expected_std": round(expected, 5),
+        }
+        if expected > 0:
+            skew = float(((z - z.mean()) ** 3).mean() / max(got_std, 1e-12) ** 3)
+            entry["skew"] = round(skew, 4)
+            n = z.size
+            # 5-sigma gates on the sample mean and std of n iid normals.
+            if (
+                abs(entry["mean"]) > 5 * expected / np.sqrt(n)
+                or abs(got_std - expected) > 5 * expected / np.sqrt(2 * n)
+                or abs(skew) > 5 * np.sqrt(6.0 / n)
+            ):
+                dist["ok"] = False
+        elif got_std != 0.0:
+            dist["ok"] = False
+        dist["per_dof"].append(entry)
+    dist["draws_per_dof"] = int(flat.shape[0] * STEPS)
+    report["inkernel_rng_distribution"] = dist
+    print(f"inkernel_rng distribution ok={dist['ok']}", flush=True)
+    ok = ok and dist["ok"]
+
     report["ok"] = ok
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

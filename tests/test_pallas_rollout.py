@@ -386,3 +386,25 @@ def test_fused_assembly_matches_two_pass_sampler(rng, shift, do_shift):
         np.testing.assert_array_equal(
             np.asarray(costs_f), np.asarray(costs_t)
         )
+
+
+def test_inkernel_rng_is_tpu_only():
+    """The in-kernel PRNG sampler (Box-Muller on pltpu.prng_random_bits)
+    has no interpret-mode lowering; constructing it for CPU must fail
+    loudly rather than crash at trace time. The on-hardware distribution
+    gate lives in scripts/tpu_crosscheck.py (PERF.md round-4 section)."""
+    from assistedmanipulation_tpu.kernels.pallas_rollout import PallasSampler
+
+    with pytest.raises(ValueError, match="interpret"):
+        PallasSampler(
+            frankaridgeback_model(),
+            ObjectiveConfiguration(),
+            fr.Configuration(),
+            rollout_count=8,
+            steps=2,
+            dt=0.01,
+            diag_scale=np.sqrt(np.asarray(fr.DEFAULT_COVARIANCE)),
+            sublanes=1,
+            interpret=True,
+            inkernel_rng=True,
+        )
