@@ -437,13 +437,30 @@ def animate(folder: str, out: str = None, fps: int = 20, stride: int = 10):
     folder unless ``out`` is given. ``stride`` subsamples sim ticks into
     frames (10 -> one frame per 50 ms at the 5 ms sim step)."""
     run = Run.load(folder)
+    scene = _scene_data(run, folder)
+    plt = _plt()
+    from matplotlib import animation
+
+    frames = np.arange(0, len(scene["time"]), max(1, stride))
+    figure = plt.figure(figsize=(6, 6))
+    ax = figure.add_subplot(projection="3d")
+
+    def draw(k):
+        _draw_scene(ax, scene, frames[k])
+
+    mov = animation.FuncAnimation(figure, draw, frames=len(frames))
+    out = out or os.path.join(folder, "scene.gif")
+    mov.save(out, writer=animation.PillowWriter(fps=fps), dpi=70)
+    plt.close(figure)
+    return out
+
+
+def _scene_data(run: "Run", folder: str) -> dict:
+    """The scene tensors + fixed camera bounds for one run's CSV tree."""
     if run.ee_position is None:
         raise FileNotFoundError(
             f"{folder} has no dynamics/end_effector_position.csv"
         )
-    plt = _plt()
-    from matplotlib import animation
-
     time = run.ee_position["time"]
     ee = np.stack([run.ee_position[k] for k in ("x", "y", "z")], axis=-1)
     reference = force = None
@@ -462,10 +479,15 @@ def animate(folder: str, out: str = None, fps: int = 20, stride: int = 10):
             [run.joints["x"], run.joints["y"], np.zeros_like(run.joints["x"])],
             axis=-1,
         )
-
-    frames = np.arange(0, len(time), max(1, stride))
-    figure = plt.figure(figsize=(6, 6))
-    ax = figure.add_subplot(projection="3d")
+    # Truncate to the shortest stream: a live (in-progress) run's CSVs can
+    # disagree by a tick at the tail.
+    n = min(
+        len(a) for a in (time, ee, reference, force, base) if a is not None
+    )
+    time, ee = time[:n], ee[:n]
+    reference = reference[:n] if reference is not None else None
+    force = force[:n] if force is not None else None
+    base = base[:n] if base is not None else None
 
     # Fixed bounds over the whole run so the camera doesn't swim.
     points = [ee] + [p for p in (reference, base) if p is not None]
@@ -478,37 +500,101 @@ def animate(folder: str, out: str = None, fps: int = 20, stride: int = 10):
         peak = np.linalg.norm(force, axis=-1).max()
         # Arrow length: peak force spans ~40% of the scene.
         force_scale = 0.4 * float((high - low).max()) / max(peak, 1e-9)
+    return {
+        "time": time,
+        "ee": ee,
+        "reference": reference,
+        "force": force,
+        "base": base,
+        "low": low,
+        "high": high,
+        "force_scale": force_scale,
+        "title": os.path.basename(os.path.normpath(folder)),
+    }
 
-    def draw(k):
-        ax.cla()
-        i = frames[k]
-        if reference is not None:
-            ax.plot(*reference.T, color="0.8", lw=1.0, label="reference")
-            ax.scatter(*reference[i], color="tab:green", s=60, marker="o",
-                       label="target")
-        ax.plot(*ee[: i + 1].T, color="tab:blue", lw=1.5, label="end effector")
-        ax.scatter(*ee[i], color="tab:blue", s=40)
-        if base is not None:
-            ax.scatter(*base[i], color="tab:gray", s=80, marker="s",
-                       label="base")
-            ax.plot(*np.stack([base[i], ee[i]]).T, color="0.6", lw=0.8)
-        if force is not None:
-            vector = force[i] * force_scale
-            ax.quiver(*ee[i], *vector, color="tab:red", lw=2,
-                      label="human force")
-        ax.set_xlim(low[0], high[0])
-        ax.set_ylim(low[1], high[1])
-        ax.set_zlim(low[2], high[2])
-        ax.set_xlabel("x [m]")
-        ax.set_ylabel("y [m]")
-        ax.set_zlabel("z [m]")
-        stem = os.path.basename(os.path.normpath(folder))
-        ax.set_title(f"{stem}  t = {time[i]:.2f} s")
-        ax.legend(loc="upper left", fontsize=8)
 
-    mov = animation.FuncAnimation(figure, draw, frames=len(frames))
-    out = out or os.path.join(folder, "scene.gif")
-    mov.save(out, writer=animation.PillowWriter(fps=fps), dpi=70)
+def _draw_scene(ax, scene: dict, i: int):
+    """One scene frame (shared by animate / watch)."""
+    ax.cla()
+    ee = scene["ee"]
+    reference = scene["reference"]
+    base = scene["base"]
+    force = scene["force"]
+    if reference is not None:
+        ax.plot(*reference.T, color="0.8", lw=1.0, label="reference")
+        ax.scatter(*reference[i], color="tab:green", s=60, marker="o",
+                   label="target")
+    ax.plot(*ee[: i + 1].T, color="tab:blue", lw=1.5, label="end effector")
+    ax.scatter(*ee[i], color="tab:blue", s=40)
+    if base is not None:
+        ax.scatter(*base[i], color="tab:gray", s=80, marker="s",
+                   label="base")
+        ax.plot(*np.stack([base[i], ee[i]]).T, color="0.6", lw=0.8)
+    if force is not None:
+        vector = force[i] * scene["force_scale"]
+        ax.quiver(*ee[i], *vector, color="tab:red", lw=2,
+                  label="human force")
+    ax.set_xlim(scene["low"][0], scene["high"][0])
+    ax.set_ylim(scene["low"][1], scene["high"][1])
+    ax.set_zlim(scene["low"][2], scene["high"][2])
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.set_zlabel("z [m]")
+    ax.set_title(f"{scene['title']}  t = {scene['time'][i]:.2f} s")
+    ax.legend(loc="upper left", fontsize=8)
+
+
+def watch(folder: str, out: str = None, interval: float = 0.5,
+          iterations: int = None, show: bool = None):
+    """LIVE observation of an in-progress run — the reference attaches a
+    RaiSim Unity server to every running simulation (simulator.cpp:37);
+    this is the headless-capable equivalent: poll the run folder's growing
+    CSV tree and re-render the current scene frame every ``interval``
+    seconds, to an interactive matplotlib window when a display exists
+    (``show=True``) and always to ``<folder>/live.png``. Start a host-
+    engine run (`--test circle --out runs`) in one terminal and
+    ``analysis watch runs/circle_*/`` in another; stops when the run stops
+    growing (two idle polls) or after ``iterations`` polls."""
+    import time as walltime
+
+    plt = _plt()
+    if show is None:
+        show = bool(os.environ.get("DISPLAY"))
+    out = out or os.path.join(folder, "live.png")
+    figure = plt.figure(figsize=(6, 6))
+    ax = figure.add_subplot(projection="3d")
+    if show:
+        plt.ion()
+        figure.show()
+    last_len = -1
+    idle = 0
+    polls = 0
+    written = 0
+    while iterations is None or polls < iterations:
+        polls += 1
+        try:
+            scene = _scene_data(Run.load(folder), folder)
+        except (FileNotFoundError, KeyError, IndexError, ValueError):
+            walltime.sleep(interval)  # CSVs not there / mid-write yet
+            continue
+        n = len(scene["time"])
+        if n == 0:
+            walltime.sleep(interval)
+            continue
+        if n == last_len:
+            idle += 1
+            if idle >= 2 and written:
+                break  # run finished (nothing new for two polls)
+        else:
+            idle = 0
+            last_len = n
+            _draw_scene(ax, scene, n - 1)
+            figure.savefig(out, dpi=70)
+            written += 1
+            if show:
+                figure.canvas.draw_idle()
+                figure.canvas.flush_events()
+        walltime.sleep(interval)
     plt.close(figure)
     return out
 
@@ -545,7 +631,7 @@ def barchart(experiments_json: str, out: str, metric: str = "mean_force"):
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 2 or argv[0] not in (
-        "single", "multiple", "barchart", "animate"
+        "single", "multiple", "barchart", "animate", "watch"
     ):
         print(__doc__)
         return 1
@@ -555,6 +641,8 @@ def main(argv=None) -> int:
         barchart(argv[1], argv[2] if len(argv) > 2 else "barchart.png")
     elif argv[0] == "animate":
         print(animate(argv[1], argv[2] if len(argv) > 2 else None))
+    elif argv[0] == "watch":
+        print(watch(argv[1], argv[2] if len(argv) > 2 else None))
     else:
         analyse_multiple(argv[1:])
     return 0

@@ -57,6 +57,14 @@ class BaseConfiguration:
     # written post-hoc — the mode to use on TPU, where per-tick dispatch
     # latency makes the host loop orders of magnitude slower.
     engine: str = "host"
+    # Pace the host engine to wall clock at 1/time_step Hz — the harness
+    # analog of the reference's raisim::TimedLoop (base.cpp:157), which is
+    # what a hardware-in-the-loop deployment runs. Unlike the reference
+    # (which silently drops late ticks) overruns are COUNTED and written to
+    # pacing.json in the run folder. Host engine only: the episode engine
+    # is one device dispatch and has nothing to pace (the offline latency
+    # budget for that path is scripts/realtime_check.py).
+    realtime: bool = False
     actor: ActorConfiguration = dataclasses.field(default_factory=ActorConfiguration)
 
 
@@ -167,14 +175,64 @@ class BaseTest:
 
     def run(self) -> bool:
         if self.configuration.engine == "episode":
+            if self.configuration.realtime:
+                raise ValueError(
+                    "realtime pacing requires the host engine (the episode "
+                    "engine is one device dispatch; use "
+                    "scripts/realtime_check.py for its latency budget)"
+                )
             return self._run_episode()
+        import json as jsonlib
+        import time as walltime
+
         ticks = int(self.configuration.duration / self.configuration.time_step)
         progress_every = max(1, ticks // 20)
+        # Flush the CSV tree every ~1 s of WALL time so a live observer
+        # (analysis.py watch — the RaiSim-Unity-server analog) sees the
+        # run grow instead of buffered-empty files.
+        paced = self.configuration.realtime
+        dt = self.configuration.time_step
+        overruns = 0
+        start_wall = walltime.perf_counter()
+        next_deadline = start_wall + dt
+        next_flush = start_wall + 1.0
         for i in range(ticks):
             self.step()
+            if walltime.perf_counter() >= next_flush:
+                self.flush_loggers()
+                next_flush = walltime.perf_counter() + 1.0
+            if paced:
+                # TimedLoop semantics (base.cpp:157): sleep out the rest of
+                # the slot; a late tick counts as an overrun and the clock
+                # resynchronizes (the reference silently skips the wait).
+                now = walltime.perf_counter()
+                if now > next_deadline:
+                    overruns += 1
+                    next_deadline = now + dt
+                else:
+                    walltime.sleep(next_deadline - now)
+                    next_deadline += dt
             if i % progress_every == 0:
                 print(".", end="", flush=True)
         print()
+        if paced:
+            elapsed = walltime.perf_counter() - start_wall
+            pacing = {
+                "tick_hz": round(1.0 / dt, 1),
+                "ticks": ticks,
+                "overruns": overruns,
+                "overrun_rate": round(overruns / max(1, ticks), 4),
+                "wall_s": round(elapsed, 3),
+                "simulated_s": round(ticks * dt, 3),
+                "realtime_factor": round(ticks * dt / elapsed, 4),
+            }
+            with open(os.path.join(self.folder, "pacing.json"), "w") as f:
+                jsonlib.dump(pacing, f, indent=1)
+            print(
+                f"realtime pacing: {pacing['overruns']}/{pacing['ticks']} "
+                f"overruns at {pacing['tick_hz']} Hz "
+                f"(realtime factor {pacing['realtime_factor']})"
+            )
         return bool(np.isfinite(np.asarray(self.actor.x)).all())
 
     # --- episode engine: one device program + post-hoc CSV writing ---------
@@ -349,6 +407,17 @@ class BaseTest:
 
     def _log_episode_extras(self, times, logs):
         """Subclass hook (the external-wrench family logs the PID here)."""
+
+    def flush_loggers(self):
+        """Push buffered CSV rows to disk mid-run (live observability)."""
+        self.mppi_logger.flush()
+        self.dynamics_logger.flush()
+        if self.forecast_logger is not None:
+            self.forecast_logger.flush()
+        self.objective_logger.flush()
+        pid_logger = getattr(self, "pid_logger", None)
+        if pid_logger is not None:
+            pid_logger.flush()
 
     def close(self):
         self.mppi_logger.close()

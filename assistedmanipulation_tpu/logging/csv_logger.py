@@ -90,6 +90,9 @@ class CSVWriter:
         if self._rows:
             self._handle.write("\n".join(self._rows) + "\n")
             self._rows.clear()
+        # Push through the 64 KiB file buffer too: live observers
+        # (analysis.watch) read the tree while the run is in progress.
+        self._handle.flush()
 
     def close(self):
         if self._native is not None:
@@ -152,6 +155,17 @@ class MPPILogger:
             self._optimal_rollout.write(update_count, t, optimal[step])
         self._optimal_cost.write(update_count, time, float(info.optimal_cost))
         self._update.write(update_count, time, float(update_duration))
+
+    def flush(self):
+        for writer in (
+            self._costs,
+            self._weights,
+            self._gradient,
+            self._optimal_rollout,
+            self._optimal_cost,
+            self._update,
+        ):
+            writer.flush()
 
     def close(self):
         for writer in (
@@ -237,6 +251,21 @@ class DynamicsLogger:
             joint_power = getattr(aux, "joint_power", 0.0)
         self._power.write(time, float(joint_power))
         self._energy.write(time, float(x[30]))
+
+    def flush(self):
+        for writer in (
+            self._joints,
+            self._control,
+            self._position,
+            self._orientation,
+            self._linear_velocity,
+            self._angular_velocity,
+            self._linear_acceleration,
+            self._angular_acceleration,
+            self._power,
+            self._energy,
+        ):
+            writer.flush()
 
     def close(self):
         for writer in (
@@ -337,6 +366,21 @@ class ForecastLogger:
             self._wrench.write(update_time, t, wrench[step])
             self._energy.write(update_time, t, float(energy[step]))
 
+    def flush(self):
+        for writer in (
+            self._joints,
+            self._position,
+            self._orientation,
+            self._linear_velocity,
+            self._angular_velocity,
+            self._linear_acceleration,
+            self._angular_acceleration,
+            self._power,
+            self._wrench,
+            self._energy,
+        ):
+            writer.flush()
+
     def close(self):
         for writer in (
             self._joints,
@@ -367,6 +411,9 @@ class ObjectiveLogger:
     def log(self, time, terms: dict):
         values = [float(terms[name]) for name in self._terms]
         self._writer.write(time, values, sum(values))
+
+    def flush(self):
+        self._writer.flush()
 
     def close(self):
         self._writer.close()
@@ -406,6 +453,16 @@ class PIDLogger:
             time, np.asarray(pid_state.saturation, dtype=np.float64)
         )
         self._control.write(time, np.asarray(pid_state.control, dtype=np.float64))
+
+    def flush(self):
+        for writer in (
+            self._reference,
+            self._error,
+            self._cumulative,
+            self._saturation,
+            self._control,
+        ):
+            writer.flush()
 
     def close(self):
         for writer in (

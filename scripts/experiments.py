@@ -395,6 +395,20 @@ def _protocol_notes(seeds):
         f"median over seeds {seeds} with [min-max] recorded in "
         "experiments.json.",
         "",
+        "**Remaining residual: assisted rectangle ~1.2x.** With pose and "
+        "the unassisted row closed, the one cell family still past 15% is "
+        "the assisted rectangle (19.3-21.7 N vs ref 15.5-16.7; unassisted "
+        "rectangle matches at 34.7 vs 34.2). The excess is BROAD, not "
+        "reversal-concentrated (mean force 18.2 N mid-line vs 23.0 within "
+        "0.3 s of the 2 s line-sweep reversals): our assistance is "
+        "uniformly ~20% weaker on the 0.5 m/s straight-line sweep — twice "
+        "the circle's speed — while per-speed ordering matches the "
+        "reference (straight line easier than curve in both). Trajectory "
+        "configs are verbatim-identical (width 1, height 0, velocity 0.5, "
+        "trajectory.hpp:248-255); with seed spreads of +-1 N this is a "
+        "genuine behavioral residual of the rollout-plant/assistance "
+        "interaction at higher sweep speed, recorded as the known gap.",
+        "",
         "**What the plant-parameter sweep ruled out** "
         "(scripts/force_offset_sweep.py, force_offset_sweep.json): base "
         "Coulomb friction scale 1.0→0.0 moves circle only 33.2→30.9 N "
@@ -517,6 +531,38 @@ def _artifact_sections(root):
                 "per-device rollout compute (the rollout batch itself is "
                 "embarrassingly parallel; only the weighting reductions "
                 "cross devices).",
+            ]
+        fused_rows = scaling.get("collectives_fused", [])
+        if fused_rows:
+            lines += [
+                "",
+                "Collective footprint of the FUSED lane-layout sampler "
+                "(the composition bench.py times, shard_map-placed — "
+                "`scaling_bench.py --mode collectives` with "
+                "BENCH_BACKEND=pallas):",
+                "",
+                "| devices | mesh | rollouts | collectives per solve |",
+                "|---|---|---|---|",
+            ]
+            for row in fused_rows:
+                cc = row["collectives"]
+                ops = ", ".join(
+                    f"{k} x{v}" for k, v in sorted(cc["ops"].items())
+                )
+                lines.append(
+                    f"| {row['devices']} | {row['mesh']} | "
+                    f"{row['rollouts']} | {ops} "
+                    f"({cc['payload_bytes']} B) |"
+                )
+            lines += [
+                "",
+                "Identical op pattern and payload to the logical-layout "
+                "path on 1-D meshes (the sort's (R, 2) cost all-gather "
+                "dominates and scales with R, the six weighting "
+                "all-reduces are O(steps x dof)); the 2-D scenario mesh "
+                "adds exactly ONE all-reduce — the scenario-mean psum. "
+                "No extra collectives were introduced by moving the "
+                "sampler into shard_map.",
             ]
 
     path = os.path.join(root, "scenario_value.json")
