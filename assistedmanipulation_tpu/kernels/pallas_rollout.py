@@ -53,6 +53,19 @@ import os as _os
 
 _KERNEL_UNROLL = int(_os.environ.get("PALLAS_UNROLL", "1"))
 
+# Scoped-VMEM budget for the rollout kernels. XLA's default scoped limit is
+# 16 MiB; tiles above 16 sublanes (e.g. the zero-padding 20-sublane tile at
+# 10k x 50: 4 programs x 2560 rollouts, 6.1 MB double-buffered control
+# blocks) need ~17 MB. v5e has far more physical VMEM; raising the scoped
+# limit per-kernel is safe and benched (PERF.md round-4 tile note).
+_VMEM_LIMIT_BYTES = int(
+    float(_os.environ.get("PALLAS_VMEM_MB", "24")) * 1024 * 1024
+)
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
 
 def _rollout_kernel(
     # SMEM scalar tables (same for every grid program):
@@ -477,6 +490,7 @@ def make_pallas_rollout_fn(
                 pltpu.VMEM((12, sublanes, LANES), dtype),
             ],
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(
             x0[fr.POSITION].reshape(12, 1),
             x0[fr.VELOCITY].reshape(12, 1),
@@ -748,6 +762,7 @@ class PallasSampler:
                 pltpu.VMEM((12, self.sublanes, LANES), dtype),
             ],
             interpret=self._interpret,
+            compiler_params=_compiler_params(),
         )(*tables, controls)
         # (G, 2, SUB, LANES) -> (G * tile, 2).
         return out.transpose(0, 2, 3, 1).reshape(-1, 2)
@@ -850,6 +865,7 @@ class PallasSampler:
                 pltpu.VMEM((12, sub, LANES), dtype),
             ],
             interpret=self._interpret,
+            compiler_params=_compiler_params(),
         )(
             *tables,
             shift_by.astype(jnp.int32).reshape(1, 1),
@@ -938,6 +954,7 @@ class PallasSampler:
                 pltpu.VMEM((12, sub, LANES), dtype),
             ],
             interpret=self._interpret,
+            compiler_params=_compiler_params(),
         )(
             *tables,
             shift_by.astype(jnp.int32).reshape(1, 1),
