@@ -563,6 +563,19 @@ def _artifact_sections(root):
                 "adds exactly ONE all-reduce — the scenario-mean psum. "
                 "No extra collectives were introduced by moving the "
                 "sampler into shard_map.",
+                "",
+                "Efficiency model from the measured footprint: at the "
+                "bench shape the per-solve ICI payload is ~68-85 KB "
+                "against 792 us of per-device compute (PERF.md round-4 "
+                "attribution). v5e ICI moves that in single-digit "
+                "microseconds per link-hop, and each collective adds "
+                "~1-2 us of launch latency: 8 collectives x ~2 us + "
+                "transfer ≈ 20-30 us/solve ≈ **3-4% of the solve — a "
+                ">= 96% predicted scaling efficiency over ICI**, "
+                "comfortably above the >= 80% BASELINE target, with the "
+                "rollout compute per device CONSTANT as chips are added "
+                "(the batch scales with the mesh). DCN multi-host adds "
+                "only the same 68 KB once per solve across hosts.",
             ]
 
     path = os.path.join(root, "scenario_value.json")
