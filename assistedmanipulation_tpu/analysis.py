@@ -91,6 +91,8 @@ class Run:
     pid_control: Optional[dict] = None
     pid_error: Optional[dict] = None
     pid_reference: Optional[dict] = None
+    ee_orientation: Optional[dict] = None
+    torque_reference: Optional[dict] = None
 
     @classmethod
     def load(cls, folder: str) -> "Run":
@@ -122,6 +124,8 @@ class Run:
             pid_control=maybe("pid", "force", "control.csv"),
             pid_error=maybe("pid", "force", "error.csv"),
             pid_reference=maybe("pid", "force", "reference.csv"),
+            ee_orientation=maybe("dynamics", "end_effector_orientation.csv"),
+            torque_reference=maybe("pid", "torque", "reference.csv"),
         )
 
     # -- metrics (analysis.py:350-504) ---------------------------------------
@@ -479,15 +483,30 @@ def _scene_data(run: "Run", folder: str) -> dict:
             [run.joints["x"], run.joints["y"], np.zeros_like(run.joints["x"])],
             axis=-1,
         )
+    # Orientation triads (the slerp scenario): EE quaternion + the torque
+    # PID's reference quaternion, both logged xyzw.
+    ee_quat = ref_quat = None
+    if run.ee_orientation is not None:
+        ee_quat = np.stack(
+            [run.ee_orientation[k] for k in ("x", "y", "z", "w")], axis=-1
+        )
+    if run.torque_reference is not None and len(run.torque_reference["time"]):
+        ref_quat = np.stack(
+            [run.torque_reference[f"reference{i}"] for i in range(4)], axis=-1
+        )
     # Truncate to the shortest stream: a live (in-progress) run's CSVs can
     # disagree by a tick at the tail.
     n = min(
-        len(a) for a in (time, ee, reference, force, base) if a is not None
+        len(a)
+        for a in (time, ee, reference, force, base, ee_quat, ref_quat)
+        if a is not None
     )
     time, ee = time[:n], ee[:n]
     reference = reference[:n] if reference is not None else None
     force = force[:n] if force is not None else None
     base = base[:n] if base is not None else None
+    ee_quat = ee_quat[:n] if ee_quat is not None else None
+    ref_quat = ref_quat[:n] if ref_quat is not None else None
 
     # Fixed bounds over the whole run so the camera doesn't swim.
     points = [ee] + [p for p in (reference, base) if p is not None]
@@ -506,11 +525,27 @@ def _scene_data(run: "Run", folder: str) -> dict:
         "reference": reference,
         "force": force,
         "base": base,
+        "ee_quat": ee_quat,
+        "ref_quat": ref_quat,
+        "triad_scale": 0.25 * float((high - low).max()),
         "low": low,
         "high": high,
         "force_scale": force_scale,
         "title": os.path.basename(os.path.normpath(folder)),
     }
+
+
+def _quat_xyzw_axes(q: np.ndarray) -> np.ndarray:
+    """Rotation-matrix columns (body x/y/z axes in world) from one xyzw
+    quaternion."""
+    x, y, z, w = q / max(np.linalg.norm(q), 1e-12)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
 
 
 def _draw_scene(ax, scene: dict, i: int):
@@ -534,6 +569,18 @@ def _draw_scene(ax, scene: dict, i: int):
         vector = force[i] * scene["force_scale"]
         ax.quiver(*ee[i], *vector, color="tab:red", lw=2,
                   label="human force")
+    if scene.get("ref_quat") is not None and scene.get("ee_quat") is not None:
+        # Orientation triads (slerp scenario): solid = EE body axes,
+        # dashed/faint = the torque PID's reference orientation.
+        scale = scene["triad_scale"]
+        ee_axes = _quat_xyzw_axes(scene["ee_quat"][i]) * scale
+        ref_axes = _quat_xyzw_axes(scene["ref_quat"][i]) * scale
+        for k, color in enumerate(("tab:red", "tab:green", "tab:blue")):
+            ax.quiver(*ee[i], *ee_axes[:, k], color=color, lw=1.5,
+                      label="EE orientation" if k == 0 else None)
+            ax.quiver(*ee[i], *ref_axes[:, k], color=color, lw=1.0,
+                      alpha=0.35,
+                      label="reference orientation" if k == 0 else None)
     ax.set_xlim(scene["low"][0], scene["high"][0])
     ax.set_ylim(scene["low"][1], scene["high"][1])
     ax.set_zlim(scene["low"][2], scene["high"][2])

@@ -238,10 +238,14 @@ class BaseTest:
     # --- episode engine: one device program + post-hoc CSV writing ---------
 
     def _episode_human(self):
-        """(trajectory, pid_configuration, wrench_enabled) for the human
-        model; base has none (base.hpp:15)."""
+        """(trajectory, pid_configuration, wrench_enabled, orientation,
+        torque_pid_configuration, torque_enabled) for the human model; base
+        has none (base.hpp:15)."""
         return (
             trajectories.PointTrajectory(trajectories.PointConfiguration()),
+            None,
+            False,
+            None,
             None,
             False,
         )
@@ -253,7 +257,14 @@ class BaseTest:
         from ..sim.episode import Episode, EpisodeConfiguration
 
         acfg = self.configuration.actor
-        trajectory, pid_configuration, wrench_enabled = self._episode_human()
+        (
+            trajectory,
+            pid_configuration,
+            wrench_enabled,
+            orientation_trajectory,
+            torque_pid_configuration,
+            torque_enabled,
+        ) = self._episode_human()
         forecast_enabled = acfg.forecast is not None and acfg.forecast.enabled
         if forecast_enabled:
             strategy = fc.create(acfg.forecast.end_effector_wrench_forecast)
@@ -275,12 +286,15 @@ class BaseTest:
                 forecast_time_step=forecast_dt,
                 forecast_horizon=forecast_horizon,
                 wrench_enabled=wrench_enabled,
+                torque_enabled=torque_enabled,
             ),
             wrench_strategy=strategy,
             robot_configuration=acfg.dynamics,
             pid_configuration=pid_configuration,
             collect_logs=True,
             filter_fn=self.actor.planner.filter_fn,
+            orientation_trajectory=orientation_trajectory,
+            torque_pid_configuration=torque_pid_configuration,
         )
         start = walltime.perf_counter()
         outputs, logs = episode.run(seed=0)
@@ -418,6 +432,9 @@ class BaseTest:
         pid_logger = getattr(self, "pid_logger", None)
         if pid_logger is not None:
             pid_logger.flush()
+        torque_pid_logger = getattr(self, "torque_pid_logger", None)
+        if torque_pid_logger is not None:
+            torque_pid_logger.flush()
 
     def close(self):
         self.mppi_logger.close()
@@ -438,6 +455,16 @@ class ExternalWrenchConfiguration(BaseConfiguration):
     force_pid: pid_module.Configuration = dataclasses.field(
         default_factory=lambda: pid_module.HUMAN_POINT_CONTROL
     )
+    # The torque PID exists whenever the case does (the reference constructs
+    # it and its logger unconditionally, external_wrench.cpp:88-117) but
+    # only drives the wrench torque channel when torque_enabled — the
+    # reference's intended-but-dead path (external_wrench.cpp:214-221 is
+    # commented out; QuaternionPID::update is empty, pid.cpp:122-125). The
+    # default preserves the reference's zero-torque behavior.
+    torque_pid: pid_module.Configuration = dataclasses.field(
+        default_factory=lambda: pid_module.HUMAN_ORIENTATION_CONTROL
+    )
+    torque_enabled: bool = False
 
 
 @register_test("external_wrench")
@@ -460,11 +487,24 @@ class ExternalWrenchTest(BaseTest):
         self.pid_logger = PIDLogger(
             os.path.join(folder, "pid", "force"), configuration.force_pid.n
         )
+        # Constructed unconditionally like the reference
+        # (external_wrench.cpp:88-117): the torque logger exists (header-only
+        # CSVs) even when the torque path never fires.
+        self.torque_pid = pid_module.QuaternionPID(configuration.torque_pid)
+        self.torque_pid_state = self.torque_pid.init(dtype=jnp.float32)
+        self.torque_pid_logger = PIDLogger(
+            os.path.join(folder, "pid", "torque"),
+            configuration.torque_pid.n,
+            reference_n=4,
+        )
 
     def pre_step(self, time):
         """Human wrench = PID(reference(t) - ee_position)
         (external_wrench.cpp:185-231). The orientation/torque path is
-        commented out in the reference and stays off by default."""
+        commented out in the reference and stays off by default; with
+        ``torque_enabled`` the quaternion PID drives the torque channel
+        toward the orientation trajectory (the intended semantics of
+        external_wrench.cpp:214-221)."""
         reference = self.position.position(jnp.asarray(float(time)))
         self.force_pid_state = self.force_pid.set_reference(
             self.force_pid_state, reference
@@ -475,16 +515,46 @@ class ExternalWrenchTest(BaseTest):
         )
         self.pid_logger.log(time, self.force_pid_state)
 
+        torque = jnp.zeros(3, dtype=jnp.float32)
+        if self.orientation is not None and self.configuration.torque_enabled:
+            reference_quat = self.orientation.orientation(
+                jnp.asarray(float(time))
+            ).astype(jnp.float32)
+            ee_quat = jnp.asarray(
+                self.actor.aux.ee_orientation, dtype=jnp.float32
+            )
+            self.torque_pid_state = self.torque_pid.update_quaternion(
+                self.torque_pid_state, ee_quat, reference_quat, time
+            )
+            torque = self.torque_pid_state.control
+            # Log with the quaternion reference in xyzw (reference_dof=4,
+            # external_wrench.cpp:105-110; Eigen coeffs order like
+            # dynamics/end_effector_orientation.csv).
+            q = np.asarray(reference_quat, dtype=np.float64)
+            self.torque_pid_logger.log(
+                time,
+                self.torque_pid_state._replace(
+                    reference=np.array([q[1], q[2], q[3], q[0]])
+                ),
+            )
+
         wrench = jnp.concatenate(
             [
                 jnp.asarray(self.force_pid_state.control, dtype=jnp.float32),
-                jnp.zeros(3, dtype=jnp.float32),
+                torque,
             ]
         )
         self.actor.add_end_effector_wrench(wrench, time)
 
     def _episode_human(self):
-        return self.position, self.configuration.force_pid, True
+        return (
+            self.position,
+            self.configuration.force_pid,
+            True,
+            self.orientation,
+            self.configuration.torque_pid,
+            self.configuration.torque_enabled,
+        )
 
     def _log_episode_extras(self, times, logs):
         import jax
@@ -504,9 +574,26 @@ class ExternalWrenchTest(BaseTest):
             row.control = pid_np.control[i]
             self.pid_logger.log(float(times[i]), row)
 
+        if self.orientation is not None and self.configuration.torque_enabled:
+            torque_np = jax.device_get(logs.torque_pid)
+            quat_np = np.asarray(
+                jax.device_get(logs.torque_reference), dtype=np.float64
+            )
+            for i in range(len(times)):
+                row = _Row()
+                # wxyz -> xyzw for the CSV (Eigen coeffs order).
+                q = quat_np[i]
+                row.reference = np.array([q[1], q[2], q[3], q[0]])
+                row.last_error = torque_np.last_error[i]
+                row.cumulative_error = torque_np.cumulative_error[i]
+                row.saturation = torque_np.saturation[i]
+                row.control = torque_np.control[i]
+                self.torque_pid_logger.log(float(times[i]), row)
+
     def close(self):
         super().close()
         self.pid_logger.close()
+        self.torque_pid_logger.close()
 
 
 # --- the experiment matrix: trajectory patches (circle.hpp:37-58 etc.) -------
@@ -536,6 +623,24 @@ class RectangleTest(ExternalWrenchTest):
 class PoseTest(ExternalWrenchTest):
     DEFAULT_PATCH = {
         "position": {"type": "point", "point": {"point": [1.0, 1.0, 1.0]}}
+    }
+
+
+@register_test("slerp")
+class SlerpTest(ExternalWrenchTest):
+    """Oscillating SLERP orientation trajectory + point position patched
+    onto external_wrench — the reference's ``slerp`` CLI case
+    (slerp.hpp:14-67 registers it via main.cpp:16; the generator is
+    trajectory.cpp:289-325, t = (sin(t)+1)/2). The reference's torque path
+    is dead code (external_wrench.cpp:214-221 commented out,
+    QuaternionPID::update an empty stub, pid.cpp:122-125), so
+    ``torque_enabled`` defaults to False for parity; setting it True drives
+    the wrench torque channel from the working quaternion PID — the
+    intended closed-loop orientation behavior."""
+
+    DEFAULT_PATCH = {
+        "position": {"type": "point", "point": {"point": [1.0, 1.0, 1.0]}},
+        "orientation": {"type": "slerp"},
     }
 
 

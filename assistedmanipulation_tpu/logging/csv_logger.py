@@ -422,10 +422,13 @@ class ObjectiveLogger:
 class PIDLogger:
     """PID CSVs (logger::PID, logging/pid.cpp)."""
 
-    def __init__(self, folder: str, n: int):
+    def __init__(self, folder: str, n: int, reference_n: int = None):
+        """``reference_n`` decouples the reference dof from the control dof —
+        the torque PID logs a quaternion reference (reference_dof=4,
+        control_dof=3, external_wrench.cpp:105-110)."""
         self._reference = CSVWriter(
             os.path.join(folder, "reference.csv"),
-            ["time"] + expanded_header("reference", n),
+            ["time"] + expanded_header("reference", reference_n or n),
         )
         self._error = CSVWriter(
             os.path.join(folder, "error.csv"), ["time"] + expanded_header("error", n)

@@ -138,7 +138,11 @@ def quat_to_euler_zxz(q):
 
 
 def quat_slerp(q0, q1, t):
-    """Spherical linear interpolation (trajectory.cpp:318-325)."""
+    """Spherical linear interpolation (trajectory.cpp:318-325).
+
+    ``t`` broadcasts against the quaternions' batch shape: a (...,) time
+    batch with single (4,) endpoints yields (..., 4) (trajectory playback)."""
+    t = jnp.asarray(t)[..., None]
     dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
     q1 = jnp.where(dot < 0, -q1, q1)
     dot = jnp.abs(dot)

@@ -63,6 +63,8 @@ class EpisodeLogs(NamedTuple):
     ee_linear_acceleration: jax.Array  # (ticks, 3) classical J̇v + Jq̈
     ee_angular_acceleration: jax.Array  # (ticks, 3)
     joint_power: jax.Array  # (ticks,) tau . v (raisim_dynamics.cpp:176-179)
+    torque_pid: object  # stacked sim.pid.PIDState (zeros when torque off)
+    torque_reference: jax.Array  # (ticks, 4) wxyz quat (zeros when off)
 
 
 @dataclasses.dataclass
@@ -73,6 +75,12 @@ class EpisodeConfiguration:
     forecast_time_step: float = 0.01
     forecast_horizon: float = 0.3
     wrench_enabled: bool = True  # False = "unassisted-of-wrench" base run
+    # Drive the torque channel of the human wrench from the quaternion PID
+    # against the orientation trajectory — the reference's intended-but-dead
+    # path (external_wrench.cpp:214-221 is commented out and
+    # QuaternionPID::update is an empty stub, pid.cpp:122-125). Defaults to
+    # the reference's zero-torque reality.
+    torque_enabled: bool = False
     # False = the "unassisted" rows of the reference experiment tables
     # (analysis.py:439-460): no wrench forecast reaches the planner, so the
     # trajectory/assistance term is zero (assisted_manipulation.cpp:237-240
@@ -108,10 +116,16 @@ class Episode:
         collect_logs: bool = False,
         filter_fn=None,
         model=None,
+        orientation_trajectory=None,
+        torque_pid_configuration: pid_module.Configuration = None,
     ):
         """``model`` overrides the robot model (e.g. a
         ``frankaridgeback_model()._replace(friction=...)`` variant for
-        plant-parameter sweeps, scripts/force_offset_sweep.py)."""
+        plant-parameter sweeps, scripts/force_offset_sweep.py).
+
+        ``orientation_trajectory`` + ``episode.torque_enabled`` drive the
+        wrench torque channel from the quaternion PID (the slerp scenario,
+        slerp.hpp:14-67)."""
         self.episode = episode or EpisodeConfiguration()
         if collect_logs and not self.episode.assisted:
             raise ValueError("collect_logs requires an assisted episode")
@@ -136,6 +150,15 @@ class Episode:
         self.trajectory = trajectory
         self.pid = pid_module.PID(
             pid_configuration or pid_module.HUMAN_POINT_CONTROL
+        )
+        # Always constructed, like the reference (external_wrench.cpp:88-95);
+        # active only with an orientation trajectory + torque_enabled.
+        self.orientation_trajectory = orientation_trajectory
+        self.torque_pid = pid_module.QuaternionPID(
+            torque_pid_configuration or pid_module.HUMAN_ORIENTATION_CONTROL
+        )
+        self._torque_on = (
+            orientation_trajectory is not None and self.episode.torque_enabled
         )
         self.wrench_strategy = wrench_strategy or fc.KalmanForecast(
             fc.KalmanForecastConfiguration(
@@ -167,6 +190,7 @@ class Episode:
             self.planner.init(seed=seed),
             self.wrench_strategy.init(self.dtype),
             self.pid.init(self.dtype),
+            self.torque_pid.init(self.dtype),
             jnp.asarray(0, dtype=jnp.int32),  # countdown: update on first tick
         )
 
@@ -185,8 +209,15 @@ class Episode:
         trajectory = self.trajectory
         wrench_on = self.episode.wrench_enabled
 
+        torque_pid = self.torque_pid
+        orientation = self.orientation_trajectory
+        torque_on = self._torque_on
+
         def tick(carry, k):
-            x, planner_state, strategy_state, pid_state, countdown = carry
+            (
+                x, planner_state, strategy_state, pid_state, torque_state,
+                countdown,
+            ) = carry
             t = k.astype(self.dtype) * dt
 
             aux = fr.derive_aux(model, x, backend=self._backend)
@@ -195,9 +226,19 @@ class Episode:
             reference = trajectory.position(t).astype(self.dtype)
             pid_state = pid.set_reference(pid_state, reference)
             pid_state = pid.update(pid_state, aux.ee_position, t)
-            wrench = jnp.concatenate(
-                [pid_state.control, jnp.zeros(3, dtype=self.dtype)]
-            )
+            if torque_on:
+                # The reference's intended torque path
+                # (external_wrench.cpp:214-221, commented out there):
+                # quaternion PID toward the orientation trajectory.
+                reference_quat = orientation.orientation(t).astype(self.dtype)
+                torque_state = torque_pid.update_quaternion(
+                    torque_state, aux.ee_orientation, reference_quat, t
+                )
+                torque = torque_state.control
+            else:
+                reference_quat = jnp.zeros(4, dtype=self.dtype)
+                torque = jnp.zeros(3, dtype=self.dtype)
+            wrench = jnp.concatenate([pid_state.control, torque])
             if not wrench_on:
                 wrench = jnp.zeros(6, dtype=self.dtype)
 
@@ -270,9 +311,14 @@ class Episode:
                     ee_linear_acceleration=aux_full.ee_linear_acceleration,
                     ee_angular_acceleration=aux_full.ee_angular_acceleration,
                     joint_power=aux_full.joint_power,
+                    torque_pid=torque_state,
+                    torque_reference=reference_quat,
                 )
                 outputs = (outputs, logs)
-            return (x_next, planner_state, strategy_state, pid_state, countdown), outputs
+            return (
+                x_next, planner_state, strategy_state, pid_state, torque_state,
+                countdown,
+            ), outputs
 
         _, outputs = jax.lax.scan(
             tick, carry, jnp.arange(self.ticks, dtype=jnp.int32)

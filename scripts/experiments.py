@@ -435,14 +435,27 @@ def regenerate_animations(root, trajectory_names, duration):
     from assistedmanipulation_tpu import analysis
     from assistedmanipulation_tpu.harness.runner import TestSuite
 
-    for name in trajectory_names:
-        case = name if name != "lissajous" else "lissajous"
+    # The slerp orientation scenario renders with the torque PID live so the
+    # GIF shows the EE triad chasing the oscillating reference triad.
+    cases = list(trajectory_names) + ["slerp"]
+    for name in cases:
+        patch = {"duration": duration, "engine": "episode"}
+        if name == "slerp":
+            # Human-plausible torque gains for the demo: the reference's
+            # HUMAN_ORIENTATION_CONTROL preset (kp 500, +-10000 N m,
+            # pid.hpp:240-247) was never driven in the reference (the torque
+            # path is dead code) and saturation-thrashes the arm when it is
+            # (measured 79 deg mean tracking error vs 19 deg at kp 30,
+            # +-30 N m with the EE held to 3 cm).
+            patch["torque_enabled"] = True
+            patch["torque_pid"] = {
+                "kp": [30, 30, 30], "kd": [3, 3, 3], "ki": [0, 0, 0],
+                "minimum": [-30, -30, -30], "maximum": [30, 30, 30],
+            }
         with tempfile.TemporaryDirectory() as tmp:
-            ok = TestSuite.run(
-                case, tmp, patch={"duration": duration, "engine": "episode"}
-            )
+            ok = TestSuite.run(name, tmp, patch=patch)
             if not ok:
-                print(f"animate: {case} run failed; skipping", flush=True)
+                print(f"animate: {name} run failed; skipping", flush=True)
                 continue
             (run_folder,) = [entry.path for entry in os.scandir(tmp)]
             out = os.path.join(root, "artifacts", f"{name}_scene.gif")
