@@ -66,7 +66,11 @@ def make_scenario_rollout_fn(rollout_fn, weights=None):
     """Wrap a Planner rollout_fn to accept a ctx whose ``wrench_horizon``
     carries a leading scenario axis (C, steps + 1, 6). Cost channels are the
     (optionally weighted) scenario mean — risk-neutral scoring; pass e.g.
-    softmax weights for risk-sensitive variants."""
+    softmax weights for risk-sensitive variants.
+
+    A rollout_fn returning ``(costs, rollout-0 states)`` passes the states
+    through from scenario 0 (the dynamics do not depend on the forecast —
+    only the cost reads the wrench horizon)."""
 
     def fn(noise, optimal_shifted, x0, time, ctx):
         if ctx is None or ctx.wrench_horizon.ndim == 2:
@@ -82,11 +86,19 @@ def make_scenario_rollout_fn(rollout_fn, weights=None):
                 ctx._replace(wrench_horizon=horizon),
             )
 
-        costs = jax.vmap(one)(horizons)  # (C, R, 2)
+        out = jax.vmap(one)(horizons)
+        states = None
+        if isinstance(out, tuple):
+            costs, states = out  # (C, R, 2), (C, S, state_dof)
+            states = states[0]  # scenario-independent
+        else:
+            costs = out  # (C, R, 2)
         if weights is None:
-            return jnp.mean(costs, axis=0)
-        w = jnp.asarray(weights, dtype=costs.dtype)
-        w = w / jnp.sum(w)
-        return jnp.einsum("c,crk->rk", w, costs)
+            mean = jnp.mean(costs, axis=0)
+        else:
+            w = jnp.asarray(weights, dtype=costs.dtype)
+            w = w / jnp.sum(w)
+            mean = jnp.einsum("c,crk->rk", w, costs)
+        return mean if states is None else (mean, states)
 
     return fn

@@ -51,6 +51,14 @@ class BaseConfiguration:
 
     duration: float = 15.0
     time_step: float = 0.005
+    # Checkpoint/resume (SURVEY §5.4; VERDICT r4 weak #7): snapshot the
+    # full live state (plant, planner incl. RNG and elite noise, forecast
+    # filter, PID states, rate countdowns) to <folder>/checkpoint.npz every
+    # this many SIM seconds (0 = disabled). ``--resume <run_folder>``
+    # truncates the CSV tree to the snapshot and continues the run
+    # bit-exactly (threefry keys make the continuation deterministic).
+    # Host engine only — the episode engine is one device dispatch.
+    checkpoint_interval: float = 0.0
     # "host": per-tick loop, reference-faithful interleaving + live logging.
     # "episode": the whole experiment as ONE jitted lax.scan (sim/episode.py)
     # with the observability stream collected on device and the CSV tree
@@ -84,24 +92,13 @@ class BaseTest:
 
         self.actor = Actor(self.configuration.actor, self.configuration.time_step)
         planner = self.actor.planner
-        if (
-            planner.configuration.optimal_rollout_mode != "resimulate"
-            and planner.filter_fn is None
-        ):
-            # With a safety filter attached, mppi ignores "batch" and
-            # resimulates anyway (_update_impl), so the CSV tree stays
-            # valid — only the unfiltered batch mode is refused.
-            # The serving-only "batch" mode publishes a one-update-stale
-            # optimal cost and no per-step optimal states
-            # (mppi.Configuration.optimal_rollout_mode); the harness CSV
-            # tree must record the reference-parity re-rollout
-            # (mppi.cpp:450-479), so the combination is an error rather
-            # than a silent convention.
-            raise ValueError(
-                "harness logging requires optimal_rollout_mode='resimulate'; "
-                f"got {planner.configuration.optimal_rollout_mode!r} "
-                "(the 'batch' fast path is for serving/bench only)"
-            )
+        # optimal_rollout_mode="batch" is accepted: every backend streams
+        # the zero-noise rollout's per-step states out of the batch, so
+        # optimal_rollout.csv and optimal_cost.csv stay populated — they
+        # describe the PRE-update shifted optimal (one update of lag vs the
+        # reference's post-update re-rollout, mppi.cpp:450-479; documented
+        # at mppi.Configuration.optimal_rollout_mode). "resimulate" remains
+        # the reference-parity default.
         self.mppi_logger = MPPILogger(
             os.path.join(folder, "mppi"),
             planner.rollout_count,
@@ -122,6 +119,7 @@ class BaseTest:
         )
         self.time = 0.0
         self._last_logged_forecast = -1.0
+        self._start_tick = 0
         self.extra_setup(folder)
 
     def extra_setup(self, folder: str):
@@ -192,12 +190,19 @@ class BaseTest:
         # run grow instead of buffered-empty files.
         paced = self.configuration.realtime
         dt = self.configuration.time_step
+        interval = self.configuration.checkpoint_interval
+        next_checkpoint = (
+            self.time + interval if interval > 0 else float("inf")
+        )
         overruns = 0
         start_wall = walltime.perf_counter()
         next_deadline = start_wall + dt
         next_flush = start_wall + 1.0
-        for i in range(ticks):
+        for i in range(self._start_tick, ticks):
             self.step()
+            if self.time >= next_checkpoint - 1e-9:
+                self.write_checkpoint(i + 1)
+                next_checkpoint += interval
             if walltime.perf_counter() >= next_flush:
                 self.flush_loggers()
                 next_flush = walltime.perf_counter() + 1.0
@@ -234,6 +239,126 @@ class BaseTest:
                 f"(realtime factor {pacing['realtime_factor']})"
             )
         return bool(np.isfinite(np.asarray(self.actor.x)).all())
+
+    # --- checkpoint / resume (SURVEY §5.4) ---------------------------------
+
+    def _ctx_template(self):
+        """Structure-matching ForecastContext for checkpoint restore (the
+        live ctx shapes are fixed by the forecast configuration)."""
+        from ..objectives.assisted_manipulation import ForecastContext
+
+        cfg = self.actor.dynamics_forecast.configuration
+        return ForecastContext(
+            wrench_horizon=jnp.zeros((cfg.steps + 1, 6), dtype=jnp.float32),
+            start_time=jnp.zeros((), dtype=jnp.float32),
+            time_step=cfg.time_step,
+            horizon=cfg.horizon,
+        )
+
+    def _checkpoint_state(self, template: bool = False):
+        """The live-state pytree a checkpoint captures: plant state, full
+        planner state (optimal control, elite noise, RNG, SG history),
+        forecast filter state, rate countdowns. ``template=True`` builds
+        the structure-matching restore template from a fresh test."""
+        actor = self.actor
+        tree = {
+            "x": actor.x,
+            # aux is deliberately the PREVIOUS tick's pre-step aux (the
+            # plant step returns pre-step aux with that step's solved
+            # accelerations — make_plant_step docstring), so it must be
+            # snapshotted, not recomputed from x on restore.
+            "aux": actor.aux,
+            "planner_state": actor.planner_state,
+            "control": actor.control,
+            "trajectory_countdown": np.asarray(actor._trajectory_countdown),
+            "forecast_countdown": np.asarray(actor._forecast_countdown),
+        }
+        if actor.wrench_forecast is not None:
+            tree["forecast_state"] = actor.forecast_state
+        if actor.dynamics_forecast is not None:
+            tree["ctx"] = self._ctx_template() if template else actor.ctx
+        return tree
+
+    def _restore_state(self, tree, metadata):
+        actor = self.actor
+        actor.x = tree["x"]
+        actor.aux = tree["aux"]
+        actor.planner_state = tree["planner_state"]
+        actor.control = tree["control"]
+        actor._trajectory_countdown = int(tree["trajectory_countdown"])
+        actor._forecast_countdown = int(tree["forecast_countdown"])
+        actor._pending_wrench = jnp.zeros(6, dtype=actor.dtype)
+        actor.last_forecast_rollout = None
+        actor.last_update_info = None
+        if "forecast_state" in tree:
+            actor.forecast_state = tree["forecast_state"]
+        if "ctx" in tree:
+            ctx = tree["ctx"]
+            # time_step/horizon are static floats in the planner's trace;
+            # the npz round-trip turned them into arrays.
+            actor.ctx = ctx._replace(
+                time_step=float(ctx.time_step), horizon=float(ctx.horizon)
+            )
+        self.time = float(metadata["time"])
+        self._start_tick = int(metadata["tick"])
+        self.mppi_logger._last_update = metadata["mppi_last_update"]
+        self._last_logged_forecast = metadata["last_logged_forecast"]
+
+    def write_checkpoint(self, tick: int):
+        """Flush the CSV tree and snapshot the live state + per-file byte
+        sizes (resume truncates each CSV back to exactly this point)."""
+        from .. import checkpoint as checkpoint_module
+
+        self.flush_loggers()
+        sizes = {}
+        for dirpath, _, files in os.walk(self.folder):
+            for name in files:
+                if name.endswith(".csv"):
+                    path = os.path.join(dirpath, name)
+                    sizes[os.path.relpath(path, self.folder)] = (
+                        os.path.getsize(path)
+                    )
+        checkpoint_module.save_checkpoint(
+            os.path.join(self.folder, "checkpoint.npz"),
+            self._checkpoint_state(),
+            metadata={
+                "test": type(self).TEST_NAME,
+                "time": self.time,
+                "tick": tick,
+                "mppi_last_update": self.mppi_logger._last_update,
+                "last_logged_forecast": self._last_logged_forecast,
+                "file_sizes": sizes,
+            },
+        )
+
+    @classmethod
+    def resume(cls, run_folder: str):
+        """Rebuild this test over an existing run folder and continue from
+        its checkpoint: CSVs truncate to the snapshot's byte sizes and the
+        loggers reopen in append mode, so the finished tree is identical
+        to an uninterrupted run (modulo host-measured update durations)."""
+        import json as jsonlib
+
+        from .. import checkpoint as checkpoint_module
+        from ..logging import csv_logger
+
+        path = os.path.join(run_folder, "checkpoint.npz")
+        metadata = checkpoint_module.load_metadata(path)
+        with open(os.path.join(run_folder, "configuration.json")) as handle:
+            tree = jsonlib.load(handle)
+        if tree.get("engine") == "episode":
+            raise ValueError("resume requires the host engine")
+        for rel, size in metadata["file_sizes"].items():
+            target = os.path.join(run_folder, rel)
+            if os.path.exists(target):
+                os.truncate(target, size)
+        with csv_logger.append_mode():
+            test = cls(folder=run_folder, patch=tree)
+        state = checkpoint_module.restore_checkpoint(
+            path, test._checkpoint_state(template=True)
+        )
+        test._restore_state(state, metadata)
+        return test
 
     # --- episode engine: one device program + post-hoc CSV writing ---------
 
@@ -545,6 +670,17 @@ class ExternalWrenchTest(BaseTest):
             ]
         )
         self.actor.add_end_effector_wrench(wrench, time)
+
+    def _checkpoint_state(self, template: bool = False):
+        tree = super()._checkpoint_state(template)
+        tree["force_pid_state"] = self.force_pid_state
+        tree["torque_pid_state"] = self.torque_pid_state
+        return tree
+
+    def _restore_state(self, tree, metadata):
+        super()._restore_state(tree, metadata)
+        self.force_pid_state = tree["force_pid_state"]
+        self.torque_pid_state = tree["torque_pid_state"]
 
     def _episode_human(self):
         return (

@@ -77,6 +77,37 @@ class TestSuite:
         print(f"test {name!r} {'passed' if ok else 'FAILED'} in {elapsed:.1f}s")
         return ok
 
+    @staticmethod
+    def resume(run_folder: str) -> bool:
+        """Continue an interrupted run from its checkpoint.npz (SURVEY
+        §5.4): the test class comes from the checkpoint metadata, the
+        configuration from the folder's configuration.json, the CSV tree
+        truncates to the snapshot and continues in append mode."""
+        from .. import checkpoint as checkpoint_module
+
+        path = os.path.join(run_folder, "checkpoint.npz")
+        if not os.path.exists(path):
+            print(f"no checkpoint.npz in {run_folder}", file=sys.stderr)
+            return False
+        name = checkpoint_module.load_metadata(path)["test"]
+        if name not in _REGISTRY:
+            print(f"unknown test {name!r} in checkpoint", file=sys.stderr)
+            return False
+        test = _REGISTRY[name].resume(run_folder)
+        print(
+            f"resuming test {name!r} in {run_folder} from t={test.time:.3f}s "
+            f"(tick {test._start_tick})"
+        )
+        start = time_module.perf_counter()
+        try:
+            ok = test.run()
+        finally:
+            if hasattr(test, "close"):
+                test.close()
+        elapsed = time_module.perf_counter() - start
+        print(f"test {name!r} {'passed' if ok else 'FAILED'} in {elapsed:.1f}s")
+        return ok
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
@@ -85,6 +116,12 @@ def main(argv=None) -> int:
     )
     parser.add_argument("-l", "--list", action="store_true", help="list tests")
     parser.add_argument("--test", help="test name to run")
+    parser.add_argument(
+        "--resume",
+        metavar="RUN_FOLDER",
+        help="continue an interrupted run from its checkpoint.npz "
+        "(enable snapshots with --config '{\"checkpoint_interval\": N}')",
+    )
     parser.add_argument("--out", default="runs", help="output directory")
     parser.add_argument("--config", help="JSON merge-patch onto the defaults")
     parser.add_argument("--duration", type=float, help="override duration [s]")
@@ -110,6 +147,9 @@ def main(argv=None) -> int:
         for name in TestSuite.names():
             print(name)
         return 0
+
+    if args.resume:
+        return 0 if TestSuite.resume(args.resume) else 1
 
     if not args.test:
         parser.print_help()

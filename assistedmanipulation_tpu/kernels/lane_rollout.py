@@ -309,7 +309,11 @@ def make_lane_rollout(
     discount: float = 1.0,
 ):
     """Build rollout_costs(noise_lanes (S, 12, T), optimal (S, 12), x0 (31,),
-    traj_data) -> (T, 2) cost channels. Pure jnp — jit or embed in Pallas."""
+    traj_data) -> ((T, 2) cost channels, (S, 12, 2) lane-0 pre-step q/v).
+    Pure jnp — jit or embed in Pallas. Lane 0 is the zero-noise static
+    rollout in the planner's layout; its per-step states feed the "batch"
+    optimal_rollout_mode's observability (one tiny slice per step; XLA
+    drops the output when unused)."""
     _, kp, kd = robot_cfg.resolve()
 
     def rollout_costs(noise_lanes, optimal, x0, traj: TrajectoryStepData):
@@ -348,10 +352,10 @@ def make_lane_rollout(
                 jnp.stack(v_next),
                 violations,
                 smooth,
-            ), None
+            ), jnp.stack([q[:, 0], v[:, 0]], axis=-1)  # lane 0 pre-step
 
         discounts = discount ** jnp.arange(steps, dtype=noise_lanes.dtype)
-        (q, v, violations, smooth), _ = jax.lax.scan(
+        (q, v, violations, smooth), qv0 = jax.lax.scan(
             body,
             (q0, v0, jnp.zeros_like(like), jnp.zeros_like(like)),
             (
@@ -364,7 +368,7 @@ def make_lane_rollout(
                 discounts,
             ),
         )
-        return jnp.stack([violations, smooth], axis=-1)  # (T, 2)
+        return jnp.stack([violations, smooth], axis=-1), qv0  # (T, 2), (S, 12, 2)
 
     return rollout_costs
 
@@ -481,7 +485,10 @@ def make_lanes_rollout_fn(
 ):
     """Adapter matching Planner's rollout_fn signature: transposes the
     (R, S, 12) noise to lane-major (S, 12, R), precomputes the per-step
-    trajectory data from ctx, and runs the fused lane rollout."""
+    trajectory data from ctx, and runs the fused lane rollout. Returns
+    ((R, 2) costs, (S, 31) rollout-0 pre-step states) — rollout 0 is lane
+    column 0 after the transpose; the wrench/energy slots carry x0's values
+    (the rollout plant applies no wrench, raisim_dynamics.cpp:236-238)."""
     rollout = make_lane_rollout(model, objective_cfg, robot_cfg, steps, dt, discount)
 
     def fn(noise, optimal_shifted, x0, time, ctx):
@@ -497,7 +504,12 @@ def make_lanes_rollout_fn(
         else:
             traj = trajectory_step_data(objective_cfg, ctx, time, steps, dt)
         noise_lanes = jnp.transpose(noise, (1, 2, 0))
-        return rollout(noise_lanes, optimal_shifted, x0, traj)
+        costs, qv0 = rollout(noise_lanes, optimal_shifted, x0, traj)
+        tail = jnp.broadcast_to(
+            x0[24:].astype(costs.dtype), (steps, x0.shape[0] - 24)
+        )
+        states0 = jnp.concatenate([qv0[..., 0], qv0[..., 1], tail], axis=-1)
+        return costs, states0
 
     return fn
 

@@ -67,6 +67,33 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
+def _write_lane0_states(states_ref, s, q_ref, v_ref, is_prog0, gated):
+    """Stream the zero-noise rollout's pre-step (q, v) out of the batch:
+    rollout 0 is lane (0, 0) of grid program 0, so write the first sublane
+    of every q/v row into the (S, 24, 1, LANES) states block — the "batch"
+    optimal_rollout_mode's observability (VERDICT r4 #4; the host slices
+    [..., 0, 0]). A constant index map keeps the block resident across grid
+    steps (accumulator pattern). ``gated`` (Mosaic) predicates the whole
+    write region on program 0 so programs > 0 pay one scalar branch;
+    interpret mode falls back to a branch-free read-modify-write select
+    (``pl.when(program_id == 0)`` has no interpret-mode lowering inside
+    the horizon loop)."""
+    if gated:
+        @pl.when(is_prog0)
+        def _():
+            for i in range(12):
+                states_ref[s, i] = q_ref[i][0:1, :]
+                states_ref[s, 12 + i] = v_ref[i][0:1, :]
+        return
+    for i in range(12):
+        states_ref[s, i] = jnp.where(
+            is_prog0, q_ref[i][0:1, :], states_ref[s, i]
+        )
+        states_ref[s, 12 + i] = jnp.where(
+            is_prog0, v_ref[i][0:1, :], states_ref[s, 12 + i]
+        )
+
+
 def _rollout_kernel(
     # SMEM scalar tables (same for every grid program):
     q0_ref,  # (12, 1)
@@ -80,10 +107,8 @@ def _rollout_kernel(
     # VMEM blocks:
     controls_ref,  # (S, 12, SUBLANES, LANES) this tile's absolute controls
     out_ref,  # (2, SUBLANES, LANES) cost channels
-    # VMEM scratch: rollout state lives on-chip for the whole horizon.
-    q_ref,  # (12, SUBLANES, LANES)
-    v_ref,  # (12, SUBLANES, LANES)
-    *,
+    *refs,  # [states_ref (S, 24, 1, LANES) when emit_states] + 2 scratch
+    # VMEM scratch (last 2 refs): rollout state lives on-chip all horizon.
     model: RobotModel,
     objective_cfg: ObjectiveConfiguration,
     kp: np.ndarray,
@@ -91,7 +116,13 @@ def _rollout_kernel(
     steps: int,
     dt: float,
     sublanes: int,
+    emit_states: bool = False,
+    gated_states: bool = False,
 ):
+    if emit_states:
+        states_ref, q_ref, v_ref = refs
+    else:
+        q_ref, v_ref = refs
     shape = (sublanes, LANES)
     dtype = controls_ref.dtype
 
@@ -104,8 +135,12 @@ def _rollout_kernel(
     out_ref[0] = jnp.zeros(shape, dtype=dtype)
     out_ref[1] = jnp.zeros(shape, dtype=dtype)
     energy = jnp.full(shape, energy_ref[0, 0], dtype=dtype)
+    if emit_states:
+        is_prog0 = pl.program_id(0) == 0
 
     def body(s, _):
+        if emit_states:
+            _write_lane0_states(states_ref, s, q_ref, v_ref, is_prog0, gated_states)
         controls_s = controls_ref[s]  # (12, SUBLANES, LANES)
         u = [controls_s[d] for d in range(12)]
         q = [q_ref[i] for i in range(12)]
@@ -158,10 +193,7 @@ def _fused_sample_rollout_kernel(
     # Outputs:
     noise_ref,  # (S, 12, SUBLANES, LANES) assembled noise tile
     out_ref,  # (2, SUBLANES, LANES) cost channels
-    # VMEM scratch:
-    q_ref,  # (12, SUBLANES, LANES)
-    v_ref,  # (12, SUBLANES, LANES)
-    *,
+    *refs,  # [states_ref (S, 24, 1, LANES) when emit_states] + 2 scratch
     model: RobotModel,
     objective_cfg: ObjectiveConfiguration,
     kp: np.ndarray,
@@ -169,6 +201,8 @@ def _fused_sample_rollout_kernel(
     steps: int,
     dt: float,
     sublanes: int,
+    emit_states: bool = False,
+    gated_states: bool = False,
 ):
     """The rollout kernel with the planner's noise assembly fused in.
 
@@ -180,6 +214,10 @@ def _fused_sample_rollout_kernel(
     in HBM at all. The extra old/fresh input streams ride the grid
     pipeline's DMA under the kernel's compute, replacing the separate
     HBM-bound assembly pass (~10% of the solve on v5e — PERF.md)."""
+    if emit_states:
+        states_ref, q_ref, v_ref = refs
+    else:
+        q_ref, v_ref = refs
     shape = (sublanes, LANES)
     dtype = old_ref.dtype
 
@@ -209,6 +247,8 @@ def _fused_sample_rollout_kernel(
     zero = jnp.zeros(shape, dtype=dtype)
 
     def body(s, _):
+        if emit_states:
+            _write_lane0_states(states_ref, s, q_ref, v_ref, g == 0, gated_states)
         sidx = jnp.minimum(s + shift, steps - 1)
         tail = s >= steps - shift
         old_shifted = old_ref[sidx]  # (12, SUBLANES, LANES)
@@ -275,10 +315,7 @@ def _inkernel_rng_sample_rollout_kernel(
     # Outputs:
     noise_ref,  # (S, 12, SUBLANES, LANES) assembled noise tile
     out_ref,  # (2, SUBLANES, LANES) cost channels
-    # VMEM scratch:
-    q_ref,  # (12, SUBLANES, LANES)
-    v_ref,  # (12, SUBLANES, LANES)
-    *,
+    *refs,  # [states_ref (S, 24, 1, LANES) when emit_states] + 2 scratch
     model: RobotModel,
     objective_cfg: ObjectiveConfiguration,
     kp: np.ndarray,
@@ -286,6 +323,8 @@ def _inkernel_rng_sample_rollout_kernel(
     steps: int,
     dt: float,
     sublanes: int,
+    emit_states: bool = False,
+    gated_states: bool = False,
 ):
     """The fused sample+rollout kernel with the fresh N(0, diag) draws
     generated IN KERNEL from the TPU's per-core PRNG (pltpu.prng_seed /
@@ -302,6 +341,10 @@ def _inkernel_rng_sample_rollout_kernel(
     tests cover the surrounding assembly via the streamed-fresh kernels
     and the on-TPU distribution check lives in scripts/tpu_crosscheck.py.
     """
+    if emit_states:
+        states_ref, q_ref, v_ref = refs
+    else:
+        q_ref, v_ref = refs
     shape = (sublanes, LANES)
     dtype = old_ref.dtype
 
@@ -343,6 +386,8 @@ def _inkernel_rng_sample_rollout_kernel(
         return 2.0 - jax.lax.bitcast_convert_type(mant, jnp.float32)
 
     def body(s, _):
+        if emit_states:
+            _write_lane0_states(states_ref, s, q_ref, v_ref, g == 0, gated_states)
         # Box-Muller pairs: 6 pairs cover the 12 dofs.
         fresh = []
         for _pair in range(6):
@@ -408,7 +453,12 @@ def make_pallas_rollout_fn(
 ):
     """Rollout evaluator matching Planner's ``rollout_fn`` signature, backed
     by the fused Pallas kernel. ``sublanes`` sets the tile height (8 is the
-    native f32 tile; tests use 1 for fast interpreter runs)."""
+    native f32 tile; tests use 1 for fast interpreter runs).
+
+    Returns ``((R, 2) costs, (S, 31) rollout-0 pre-step states)`` — the
+    zero-noise static rollout's trajectory streamed out of the batch (the
+    "batch" optimal_rollout_mode's observability; a (S, 24, 1, 128) side
+    output written by grid program 0, ~25 KB)."""
     _, kp, kd = robot_cfg.resolve()
     tile = sublanes * LANES
     if interpret is None:
@@ -423,6 +473,8 @@ def make_pallas_rollout_fn(
         steps=steps,
         dt=dt,
         sublanes=sublanes,
+        emit_states=True,
+        gated_states=not interpret,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
@@ -461,7 +513,7 @@ def make_pallas_rollout_fn(
         )
         x0 = x0.astype(dtype)
 
-        out = pl.pallas_call(
+        out, states_out = pl.pallas_call(
             kernel,
             grid=(G,),
             in_specs=[
@@ -479,12 +531,22 @@ def make_pallas_rollout_fn(
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=pl.BlockSpec(
-                (None, 2, sublanes, LANES),
-                lambda g: (g, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((G, 2, sublanes, LANES), dtype),
+            out_specs=[
+                pl.BlockSpec(
+                    (None, 2, sublanes, LANES),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (steps, 24, 1, LANES),
+                    lambda g: (0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((G, 2, sublanes, LANES), dtype),
+                jax.ShapeDtypeStruct((steps, 24, 1, LANES), dtype),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((12, sublanes, LANES), dtype),
                 pltpu.VMEM((12, sublanes, LANES), dtype),
@@ -504,7 +566,13 @@ def make_pallas_rollout_fn(
         )
         # (G, 2, SUB, LANES) -> (R, 2), inverse of the controls relayout.
         costs = out.transpose(0, 2, 3, 1).reshape(G * tile, 2)
-        return costs[:R]
+        # Rollout 0 = lane (0, 0) of program 0: (S, 24) pre-step q/v plus
+        # x0's wrench/energy tail (the rollout plant applies no wrench,
+        # raisim_dynamics.cpp:236-238).
+        qv0 = states_out[:, :, 0, 0]
+        tail = jnp.broadcast_to(x0[24:], (steps, x0.shape[0] - 24))
+        states0 = jnp.concatenate([qv0, tail], axis=-1)
+        return costs[:R], states0
 
     return fn
 
@@ -629,7 +697,13 @@ class PallasSampler:
         rollout_axis: str = "rollouts",
         scenario_axis: Optional[str] = None,
         inkernel_rng: bool = False,
+        emit_states: bool = False,
     ):
+        """``emit_states``: stream the zero-noise rollout's per-step (q, v)
+        out of the kernel (a ~25 KB side output written by grid program 0 of
+        the first shard) so the "batch" optimal_rollout_mode publishes real
+        optimal_rollout states (VERDICT r4 #4). sample_and_rollout then
+        returns a third element, the (S, 31) states."""
         _, kp, kd = robot_cfg.resolve()
         if inkernel_rng:
             fused_assembly = True  # the RNG lives in the fused kernel
@@ -671,6 +745,7 @@ class PallasSampler:
         self._interpret = interpret
         self._fused_assembly = fused_assembly
         self._inkernel_rng = inkernel_rng
+        self._emit_states = emit_states
         statics = dict(
             model=model,
             objective_cfg=objective_cfg,
@@ -679,6 +754,8 @@ class PallasSampler:
             steps=steps,
             dt=dt,
             sublanes=sublanes,
+            emit_states=emit_states,
+            gated_states=not interpret,
         )
         self._kernel = functools.partial(_rollout_kernel, **statics)
         self._fused_kernel = functools.partial(
@@ -728,15 +805,51 @@ class PallasSampler:
             discounts,
         )
 
+    def _states_out_spec(self):
+        """(out_spec, out_shape) for the lane-0 states side output: one
+        (S, 24, 1, LANES) block with a constant index map (resident across
+        grid steps, written by program 0 only)."""
+        return (
+            pl.BlockSpec(
+                (self.steps, 24, 1, LANES),
+                lambda g: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            jax.ShapeDtypeStruct((self.steps, 24, 1, LANES), jnp.float32),
+        )
+
+    def _assemble_states(self, states_out, x0):
+        """(S, 24, 1, LANES) kernel output -> (S, 31) rollout-0 states."""
+        qv0 = states_out[:, :, 0, 0]
+        tail = jnp.broadcast_to(
+            x0.astype(states_out.dtype)[24:], (self.steps, x0.shape[0] - 24)
+        )
+        return jnp.concatenate([qv0, tail], axis=-1)
+
     def _costs_padded(self, controls, x0, time, ctx):
         """Kernel invocation on one shard's (G_local, S, 12, SUB, LANES)
         control tiles -> (G_local * tile, 2) cost channels, pad rows
-        included."""
+        included (plus the (S, 24, 1, LANES) lane-0 states output when
+        ``emit_states``)."""
         dtype = controls.dtype
         steps = self.steps
         grid = controls.shape[0]
         tables = self._scalar_tables(dtype, x0, time, ctx)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+        cost_spec = pl.BlockSpec(
+            (None, 2, self.sublanes, LANES),
+            lambda g: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        cost_shape = jax.ShapeDtypeStruct(
+            (grid, 2, self.sublanes, LANES), dtype
+        )
+        if self._emit_states:
+            states_spec, states_shape = self._states_out_spec()
+            out_specs = [cost_spec, states_spec]
+            out_shape = [cost_shape, states_shape]
+        else:
+            out_specs, out_shape = cost_spec, cost_shape
         out = pl.pallas_call(
             self._kernel,
             grid=(grid,),
@@ -749,14 +862,8 @@ class PallasSampler:
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=pl.BlockSpec(
-                (None, 2, self.sublanes, LANES),
-                lambda g: (g, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (grid, 2, self.sublanes, LANES), dtype
-            ),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((12, self.sublanes, LANES), dtype),
                 pltpu.VMEM((12, self.sublanes, LANES), dtype),
@@ -764,11 +871,18 @@ class PallasSampler:
             interpret=self._interpret,
             compiler_params=_compiler_params(),
         )(*tables, controls)
+        if self._emit_states:
+            out, states_out = out
+            costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
+            return costs, states_out
         # (G, 2, SUB, LANES) -> (G * tile, 2).
         return out.transpose(0, 2, 3, 1).reshape(-1, 2)
 
     def _costs(self, controls, x0, time, ctx):
-        return self._costs_padded(controls, x0, time, ctx)[: self.rollouts]
+        out = self._costs_padded(controls, x0, time, ctx)
+        if self._emit_states:
+            return out[0][: self.rollouts]
+        return out[: self.rollouts]
 
     def _scenario_costs_padded(self, controls, x0, time, ctx, sharded):
         """Cost channels for one shard's controls, averaging over a
@@ -784,14 +898,25 @@ class PallasSampler:
                 controls, x0, time, ctx._replace(wrench_horizon=horizon)
             )
 
-        costs = jax.lax.map(one, ctx.wrench_horizon)  # (C_local, N, 2)
+        out = jax.lax.map(one, ctx.wrench_horizon)  # (C_local, N, 2)
+        states_out = None
+        if self._emit_states:
+            costs, stacked_states = out
+            # Scenario-independent (the forecast only enters the cost).
+            states_out = jax.tree.map(lambda a: a[0], stacked_states)
+        else:
+            costs = out
         if sharded and self._scenario_axis is not None:
             total = costs.shape[0] * self._mesh.shape[self._scenario_axis]
-            return (
+            reduced = (
                 jax.lax.psum(jnp.sum(costs, axis=0), self._scenario_axis)
                 / total
             )
-        return jnp.mean(costs, axis=0)
+        else:
+            reduced = jnp.mean(costs, axis=0)
+        if self._emit_states:
+            return reduced, states_out
+        return reduced
 
     def _fused_sample_costs(
         self, old, fresh, keep_mask, shift_by, do_shift, first_shard,
@@ -817,7 +942,27 @@ class PallasSampler:
             )
         keep_lanes = keep_mask.reshape(grid, sub, LANES).astype(dtype)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-        noise, out = pl.pallas_call(
+        out_specs = [
+            pl.BlockSpec(
+                (None, steps, 12, sub, LANES),
+                lambda g: (g, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # assembled noise
+            pl.BlockSpec(
+                (None, 2, sub, LANES),
+                lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # cost channels
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((grid, steps, 12, sub, LANES), dtype),
+            jax.ShapeDtypeStruct((grid, 2, sub, LANES), dtype),
+        ]
+        if self._emit_states:
+            states_spec, states_shape = self._states_out_spec()
+            out_specs.append(states_spec)
+            out_shape.append(states_shape)
+        outs = pl.pallas_call(
             self._fused_kernel,
             grid=(grid,),
             in_specs=[
@@ -844,22 +989,8 @@ class PallasSampler:
                     memory_space=pltpu.VMEM,
                 ),  # keep mask
             ],
-            out_specs=[
-                pl.BlockSpec(
-                    (None, steps, 12, sub, LANES),
-                    lambda g: (g, 0, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),  # assembled noise
-                pl.BlockSpec(
-                    (None, 2, sub, LANES),
-                    lambda g: (g, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),  # cost channels
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((grid, steps, 12, sub, LANES), dtype),
-                jax.ShapeDtypeStruct((grid, 2, sub, LANES), dtype),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((12, sub, LANES), dtype),
                 pltpu.VMEM((12, sub, LANES), dtype),
@@ -877,7 +1008,10 @@ class PallasSampler:
             fresh,
             keep_lanes,
         )
+        noise, out = outs[0], outs[1]
         costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
+        if self._emit_states:
+            return costs, noise, outs[2]
         return costs, noise
 
     def _inkernel_sample_costs(
@@ -909,7 +1043,27 @@ class PallasSampler:
             12, 1
         )
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-        noise, out = pl.pallas_call(
+        out_specs_ik = [
+            pl.BlockSpec(
+                (None, steps, 12, sub, LANES),
+                lambda g: (g, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # assembled noise
+            pl.BlockSpec(
+                (None, 2, sub, LANES),
+                lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # cost channels
+        ]
+        out_shape_ik = [
+            jax.ShapeDtypeStruct((grid, steps, 12, sub, LANES), dtype),
+            jax.ShapeDtypeStruct((grid, 2, sub, LANES), dtype),
+        ]
+        if self._emit_states:
+            states_spec, states_shape = self._states_out_spec()
+            out_specs_ik.append(states_spec)
+            out_shape_ik.append(states_shape)
+        outs = pl.pallas_call(
             self._inkernel_kernel,
             grid=(grid,),
             in_specs=[
@@ -933,22 +1087,8 @@ class PallasSampler:
                     memory_space=pltpu.VMEM,
                 ),  # keep mask
             ],
-            out_specs=[
-                pl.BlockSpec(
-                    (None, steps, 12, sub, LANES),
-                    lambda g: (g, 0, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),  # assembled noise
-                pl.BlockSpec(
-                    (None, 2, sub, LANES),
-                    lambda g: (g, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),  # cost channels
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((grid, steps, 12, sub, LANES), dtype),
-                jax.ShapeDtypeStruct((grid, 2, sub, LANES), dtype),
-            ],
+            out_specs=out_specs_ik,
+            out_shape=out_shape_ik,
             scratch_shapes=[
                 pltpu.VMEM((12, sub, LANES), dtype),
                 pltpu.VMEM((12, sub, LANES), dtype),
@@ -967,7 +1107,10 @@ class PallasSampler:
             old,
             keep_lanes,
         )
+        noise, out = outs[0], outs[1]
         costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
+        if self._emit_states:
+            return costs, noise, outs[2]
         return costs, noise
 
     def _shard_sample(
@@ -977,40 +1120,56 @@ class PallasSampler:
         """Sample + rollout ONE shard: draws the shard's fresh noise from
         ``fold_in(key, shard)`` (placement-invariant bits), assembles in
         lane layout, scores through the kernel. Returns ((R_local, 2)
-        costs, (G_local, S, 12, SUB, LANES) noise)."""
+        costs, (G_local, S, 12, SUB, LANES) noise) — plus the (S, 31)
+        rollout-0 states when ``emit_states`` (meaningful on the first
+        shard only; other shards return their own lane-0 trajectory,
+        discarded by the caller)."""
         dtype = old_local.dtype
         first = shard_index == 0
         if self._inkernel_rng:
-            costs, noise = self._inkernel_sample_costs(
+            out = self._inkernel_sample_costs(
                 jax.random.fold_in(key, shard_index), old_local, keep_local,
                 shift_by, do_shift, first, optimal, optimal_shifted, x0,
                 time, ctx,
             )
-            return costs[: self.local_rollouts], noise
-        scale = jnp.asarray(self._diag_scale, dtype=dtype)
-        fresh = (
-            jax.random.normal(
-                jax.random.fold_in(key, shard_index), old_local.shape, dtype
-            )
-            * scale[None, None, :, None, None]
-        )
-        if self._fused_assembly:
-            costs, noise = self._fused_sample_costs(
-                old_local, fresh, keep_local, shift_by, do_shift, first,
-                optimal, optimal_shifted, x0, time, ctx,
-            )
         else:
-            noise = lane_noise_assemble(
-                old_local, fresh, keep_local, shift_by, do_shift,
-                optimal.astype(dtype), first_shard=first,
+            scale = jnp.asarray(self._diag_scale, dtype=dtype)
+            fresh = (
+                jax.random.normal(
+                    jax.random.fold_in(key, shard_index), old_local.shape,
+                    dtype,
+                )
+                * scale[None, None, :, None, None]
             )
-            controls = (
-                noise
-                + optimal_shifted.astype(dtype)[None, :, :, None, None]
+            if self._fused_assembly:
+                out = self._fused_sample_costs(
+                    old_local, fresh, keep_local, shift_by, do_shift, first,
+                    optimal, optimal_shifted, x0, time, ctx,
+                )
+            else:
+                noise = lane_noise_assemble(
+                    old_local, fresh, keep_local, shift_by, do_shift,
+                    optimal.astype(dtype), first_shard=first,
+                )
+                controls = (
+                    noise
+                    + optimal_shifted.astype(dtype)[None, :, :, None, None]
+                )
+                scored = self._scenario_costs_padded(
+                    controls, x0, time, ctx, sharded
+                )
+                if self._emit_states:
+                    out = (scored[0], noise, scored[1])
+                else:
+                    out = (scored, noise)
+        if self._emit_states:
+            costs, noise, states_out = out
+            return (
+                costs[: self.local_rollouts],
+                noise,
+                self._assemble_states(states_out, x0),
             )
-            costs = self._scenario_costs_padded(
-                controls, x0, time, ctx, sharded
-            )
+        costs, noise = out
         return costs[: self.local_rollouts], noise
 
     def sample_and_rollout(
@@ -1024,27 +1183,33 @@ class PallasSampler:
             )
         outs = []
         for s in range(self.shards):
-            costs_s, noise_s = self._shard_sample(
-                key,
-                keep_mask[
-                    s * self.local_rollouts : (s + 1) * self.local_rollouts
-                ],
-                shift_by,
-                do_shift,
-                old[s * self.local_grid : (s + 1) * self.local_grid],
-                optimal,
-                optimal_shifted,
-                x0,
-                time,
-                ctx,
-                jnp.asarray(s, jnp.int32),
-                sharded=False,
+            outs.append(
+                self._shard_sample(
+                    key,
+                    keep_mask[
+                        s
+                        * self.local_rollouts : (s + 1)
+                        * self.local_rollouts
+                    ],
+                    shift_by,
+                    do_shift,
+                    old[s * self.local_grid : (s + 1) * self.local_grid],
+                    optimal,
+                    optimal_shifted,
+                    x0,
+                    time,
+                    ctx,
+                    jnp.asarray(s, jnp.int32),
+                    sharded=False,
+                )
             )
-            outs.append((costs_s, noise_s))
         if self.shards == 1:
             return outs[0]
-        costs = jnp.concatenate([c for c, _ in outs], axis=0)
-        noise = jnp.concatenate([n for _, n in outs], axis=0)
+        costs = jnp.concatenate([o[0] for o in outs], axis=0)
+        noise = jnp.concatenate([o[1] for o in outs], axis=0)
+        if self._emit_states:
+            # Rollout 0 lives in shard 0.
+            return costs, noise, outs[0][2]
         return costs, noise
 
     def _sharded_sample_and_rollout(
@@ -1083,11 +1248,26 @@ class PallasSampler:
         ):
             key = jax.random.wrap_key_data(keydata, impl=impl)
             shard = jax.lax.axis_index(axis)
-            return self._shard_sample(
+            out = self._shard_sample(
                 key, keep_local, shift_by, do_shift, old_local, optimal,
                 optimal_shifted, x0, time, ctx, shard, sharded=True,
             )
+            if not self._emit_states:
+                return out
+            costs, noise, states = out
+            # Rollout 0 lives on the first rollout shard; broadcast its
+            # states to every device (a 6 KB psum over the rollout axis —
+            # identical across scenario rows by construction).
+            states = jax.lax.psum(
+                jnp.where(shard == 0, states, jnp.zeros_like(states)), axis
+            )
+            return costs, noise, states
 
+        out_specs = (
+            (P(axis), P(axis), P())
+            if self._emit_states
+            else (P(axis), P(axis))
+        )
         return jax.shard_map(
             local,
             mesh=self._mesh,
@@ -1095,7 +1275,7 @@ class PallasSampler:
                 P(), P(axis), P(), P(), P(axis), P(), P(), P(), P(),
                 ctx_spec,
             ),
-            out_specs=(P(axis), P(axis)),
+            out_specs=out_specs,
             check_vma=False,
         )(
             keydata, keep_mask, shift_by, do_shift, old, optimal,
@@ -1227,6 +1407,13 @@ def make_pallas_planner(
             rollout_axis=rollout_axis,
             scenario_axis=scenario_axis,
             inkernel_rng=inkernel_rng,
+            # Stream rollout 0's states only when "batch" mode consumes
+            # them for optimal_rollout observability; resimulate mode
+            # keeps the kernels byte-identical to round 4.
+            emit_states=(
+                mppi_configuration.optimal_rollout_mode == "batch"
+                and filter_fn is None
+            ),
         )
         return mppi_module.Planner(
             mppi_configuration, plant, sampler=sampler, filter_fn=filter_fn

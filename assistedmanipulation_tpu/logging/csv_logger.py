@@ -52,6 +52,27 @@ def _flatten(values) -> list:
     return flat
 
 
+# Resume support (harness --resume): while True, CSVWriters open their
+# files in APPEND mode without rewriting the header, so a restored run
+# continues the existing CSV tree in place. Set via ``append_mode()``
+# around logger construction; the native fastlog writer always truncates,
+# so append mode forces the Python backend for the affected writers.
+_APPEND_MODE = False
+
+
+class append_mode:
+    """Context manager: construct CSVWriters in append-to-existing mode."""
+
+    def __enter__(self):
+        global _APPEND_MODE
+        self._previous = _APPEND_MODE
+        _APPEND_MODE = True
+
+    def __exit__(self, *exc):
+        global _APPEND_MODE
+        _APPEND_MODE = self._previous
+
+
 class CSVWriter:
     """Buffered single-file CSV writer (logger::CSV, csv.hpp:23-177).
 
@@ -62,7 +83,12 @@ class CSVWriter:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         self.path = path
         header_line = ",".join(str(h) for h in _flatten(header))
-        if _fastlog is not None:
+        if _APPEND_MODE and os.path.exists(path):
+            self._native = None
+            self._rows = []
+            self._flush_every = flush_every
+            self._handle = open(path, "a", buffering=1 << 16)
+        elif _fastlog is not None:
             # Native path: C writer with its own 1 MiB buffer and identical
             # shortest-round-trip float formatting (native/fastlog.c).
             self._native = _fastlog.Writer(path, header_line)

@@ -113,12 +113,16 @@ class Configuration:
     #   (mppi::Trajectory::filter, mppi.cpp:450-479 — reference parity).
     #   One serial 50-step trajectory: the Amdahl tail of the solve,
     #   measured at ~60% of a 10k-rollout update on TPU v5e.
-    # - "batch": read the zero-noise static rollout's cost from the batch
-    #   (rollout 0 IS the shifted optimal evaluated at the current state),
-    #   skipping the re-rollout entirely. The logged optimal cost lags one
-    #   update and per-step optimal states are not produced; ignored when a
-    #   safety filter is attached (the filter needs the re-rollout to write
-    #   filtered controls back).
+    # - "batch": read the zero-noise static rollout's cost AND per-step
+    #   states from the batch (rollout 0 IS the shifted optimal evaluated at
+    #   the current state), skipping the re-rollout entirely. The logged
+    #   optimal cost and optimal_rollout states lag one update (they
+    #   describe the pre-update shifted optimal, not the just-published
+    #   sequence) but are REAL: every backend streams rollout 0's per-step
+    #   states out of the batch, so optimal_rollout.csv stays populated
+    #   (mppi.cpp:450-479 / logging/mppi.cpp:23-72 observability at serving
+    #   speed). Ignored when a safety filter is attached (the filter needs
+    #   the re-rollout to write filtered controls back).
     optimal_rollout_mode: str = "resimulate"
 
     @property
@@ -214,9 +218,13 @@ class Planner:
         sampler=None,
     ):
         """``rollout_fn(noise, optimal_shifted, x0, time, ctx) -> (R, 2)``
-        optionally replaces the generic vmap rollout with a fused batch
-        evaluator (e.g. the batch-minor lanes path or a Pallas kernel,
-        kernels/lane_rollout.py) — semantics must match _rollout_batch.
+        — or ``((R, 2), (steps, state_dof))`` with the zero-noise rollout's
+        per-step pre-step states as the second element (all in-tree
+        backends do; the states feed optimal_rollout_mode="batch"'s
+        observability) — optionally replaces the generic vmap rollout with
+        a fused batch evaluator (e.g. the batch-minor lanes path or a
+        Pallas kernel, kernels/lane_rollout.py) — semantics must match
+        _rollout_batch.
 
         ``filter_rollout_fn(optimal, x0, time, ctx) -> ((2,) cost channels,
         (steps, state_dof) states)`` optionally replaces the vmap optimal
@@ -235,7 +243,8 @@ class Planner:
         kernel's lane layout, so no relayout pass feeds the kernel). The
         protocol: ``init_noise(dtype)``, ``sample_and_rollout(key,
         keep_mask, shift_by, do_shift, old_noise, optimal, optimal_shifted,
-        x0, time, ctx) -> (costs (R, 2), noise_repr)``,
+        x0, time, ctx) -> (costs (R, 2), noise_repr[, (steps, state_dof)
+        rollout-0 states — consumed by optimal_rollout_mode="batch"])``,
         ``weighted_noise_sum(noise_repr, weights (R,)) -> (steps, dof)``.
         Mutually exclusive with ``rollout_fn`` and with the
         ``noise_override`` parity hook."""
@@ -480,36 +489,56 @@ class Planner:
         return noise, optimal_shifted, shift_by, last_shift_time, rng
 
     def _rollout_batch(self, noise, optimal_shifted, x0, time, ctx):
-        """Batched rollouts (mppi.cpp:272-342): per rollout, scan the horizon
-        accumulating discounted cost with NaN poisoning."""
+        """Batched rollouts (mppi.cpp:272-342): a horizon scan over the
+        vmapped batch step, accumulating discounted cost with NaN poisoning.
+
+        Returns ``((R, 2) cost channels, (steps, state_dof) rollout-0
+        states)``: the zero-noise static rollout's pre-step state is sliced
+        out of the batch each step (one tiny gather — it feeds the "batch"
+        optimal_rollout_mode's observability for free; XLA drops the output
+        when unused). A ``rollout_fn`` backend may return just the costs or
+        the same (costs, states) pair."""
         if self.rollout_fn is not None:
-            return self.rollout_fn(noise, optimal_shifted, x0, time, ctx)
+            out = self.rollout_fn(noise, optimal_shifted, x0, time, ctx)
+            if isinstance(out, tuple):
+                return out
+            return out, None
         dt = self.configuration.time_step
         plant = self.plant
         discount = self._discount
+        R = noise.shape[0]
 
-        def single(noise_r):
-            def body(carry, inputs):
-                x, total = carry
-                u_opt, noise_s, step = inputs
-                t = time + step * dt
-                u = u_opt + noise_s
-                aux = plant.derive(x, t, ctx)
-                step_cost = as_cost_channels(plant.cost(x, u, aux, t, ctx))
-                step_cost = step_cost.astype(total.dtype)
-                total = total + step_cost * discount**step  # NaN = poisoning
-                x = plant.integrate(x, u, aux, t, dt, ctx)
-                return (x, total), None
-
-            steps = jnp.arange(self.steps, dtype=self.dtype)
-            (x, total), _ = jax.lax.scan(
-                body,
-                (x0, jnp.zeros(2, dtype=self.dtype)),
-                (optimal_shifted, noise_r, steps),
+        derive_b = jax.vmap(lambda x, t: plant.derive(x, t, ctx))
+        cost_b = jax.vmap(
+            lambda x, u, aux, t: as_cost_channels(
+                plant.cost(x, u, aux, t, ctx)
             )
-            return total
+        )
+        integrate_b = jax.vmap(
+            lambda x, u, aux, t: plant.integrate(x, u, aux, t, dt, ctx)
+        )
 
-        return jax.vmap(single)(noise)
+        def body(carry, inputs):
+            x, total = carry  # (R, state_dof), (R, 2)
+            u_opt, noise_s, step = inputs  # (dof,), (R, dof), scalar
+            t = time + step * dt
+            tb = jnp.broadcast_to(t, (R,))
+            u = u_opt[None] + noise_s
+            aux = derive_b(x, tb)
+            step_cost = cost_b(x, u, aux, tb).astype(total.dtype)
+            total = total + step_cost * discount**step  # NaN = poisoning
+            x0_pre = x[0]  # rollout 0's pre-step state (zero-noise static)
+            x = integrate_b(x, u, aux, tb)
+            return (x, total), x0_pre
+
+        steps = jnp.arange(self.steps, dtype=self.dtype)
+        x_init = jnp.broadcast_to(x0, (R,) + x0.shape)
+        (_, total), states0 = jax.lax.scan(
+            body,
+            (x_init, jnp.zeros((R, 2), dtype=self.dtype)),
+            (optimal_shifted, jnp.swapaxes(noise, 0, 1), steps),
+        )
+        return total, states0
 
     def _sg_trim_offset(self, state: PlannerState, time: jax.Array):
         """The smoothing window's trim offset, time-based like
@@ -636,15 +665,19 @@ class Planner:
                 optimal_shifted, shift_by, do_shift, last_shift_time,
                 keep_mask, key, rng,
             ) = self._sample_meta(state, time)
-            costs, noise = self.sampler.sample_and_rollout(
+            out = self.sampler.sample_and_rollout(
                 key, keep_mask, shift_by, do_shift, state.noise,
                 state.optimal_control, optimal_shifted, x0, time, ctx,
             )
+            costs, noise = out[0], out[1]
+            states0 = out[2] if len(out) > 2 else None
         else:
             noise, optimal_shifted, shift_by, last_shift_time, rng = (
                 self._sample(state, time, noise_override)
             )
-            costs = self._rollout_batch(noise, optimal_shifted, x0, time, ctx)
+            costs, states0 = self._rollout_batch(
+                noise, optimal_shifted, x0, time, ctx
+            )
         optimal, weights, gradient, sg_buffer, degenerate = self._optimise(
             costs,
             noise,
@@ -658,12 +691,15 @@ class Planner:
             and self.filter_fn is None
         ):
             # Zero-noise rollout 0 = the shifted optimal at the current
-            # state; its cost is the optimal-trajectory cost one update
-            # early (see Configuration.optimal_rollout_mode).
+            # state; its cost AND per-step states come from the batch, one
+            # update early (see Configuration.optimal_rollout_mode).
             optimal_cost = compose_cost(costs[0])
-            optimal_states = jnp.zeros(
-                (self.steps, self.plant.state_dof), dtype=self.dtype
-            )
+            if states0 is not None:
+                optimal_states = states0
+            else:
+                optimal_states = jnp.zeros(
+                    (self.steps, self.plant.state_dof), dtype=self.dtype
+                )
         else:
             optimal_cost, optimal_states, optimal = self._filter_rollout(
                 optimal, x0, time, ctx

@@ -80,7 +80,7 @@ def count_jaxpr_flops(jaxpr) -> float:
             total += max(
                 count_jaxpr_flops(b) for b in eqn.params["branches"]
             )
-        elif name in ("pjit", "closed_call", "custom_jvp_call",
+        elif name in ("pjit", "jit", "closed_call", "custom_jvp_call",
                       "custom_vjp_call", "remat", "checkpoint"):
             total += count_jaxpr_flops(eqn.params["jaxpr"])
         # Everything else (rng, sort, io) contributes no arithmetic FLOPs.
@@ -88,10 +88,9 @@ def count_jaxpr_flops(jaxpr) -> float:
 
 
 @lru_cache(maxsize=None)
-def rollout_step_flops() -> float:
-    """FLOPs per rollout per horizon step of the fused kernel: trace
-    step_cost_and_dynamics (the graph both the Pallas and lanes backends
-    run) at lane shape (1,) and count. Cached — the graph is static."""
+def rollout_step_jaxpr():
+    """The jaxpr of one fused rollout step (the graph both the Pallas and
+    lanes backends run) traced at lane shape (1,). Cached — static."""
     import jax.numpy as jnp
 
     from ..kernels.lane_rollout import step_cost_and_dynamics
@@ -136,7 +135,76 @@ def rollout_step_flops() -> float:
         scalar,
         scalar,
     )
-    return count_jaxpr_flops(jaxpr)
+    return jaxpr
+
+
+@lru_cache(maxsize=None)
+def rollout_step_flops() -> float:
+    """FLOPs per rollout per horizon step of the fused kernel, counted by
+    walking ``rollout_step_jaxpr``."""
+    return count_jaxpr_flops(rollout_step_jaxpr())
+
+
+def count_jaxpr_ops(jaxpr) -> dict:
+    """Histogram of arithmetic primitives (by name) in a jaxpr, flat —
+    no scan scaling; used for the vector-ISSUE model of the VPU roofline
+    (scripts/vpu_roofline.py)."""
+    jaxpr = jaxpr.jaxpr if hasattr(jaxpr, "jaxpr") else jaxpr
+    counts: dict = {}
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in ("pjit", "jit", "closed_call", "custom_jvp_call",
+                    "custom_vjp_call", "remat", "checkpoint", "scan",
+                    "while", "cond"):
+            params = eqn.params
+            inner = params.get("jaxpr") or params.get("body_jaxpr")
+            if inner is None and "branches" in params:
+                inner = params["branches"][0]
+            if inner is not None:
+                for key, value in count_jaxpr_ops(inner).items():
+                    counts[key] = counts.get(key, 0) + value
+            continue
+        counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def count_fma_pairs(jaxpr) -> int:
+    """Static count of fusable multiply-add pairs: a ``mul`` whose single
+    output feeds exactly one ``add``/``sub`` equation (the pattern the VPU
+    issues as ONE fused multiply-add). This is the pessimistic structural
+    count — the compiler may find more through reassociation, never
+    fewer — so utilization computed from it is an upper bound on the
+    instruction count and a LOWER bound on utilization."""
+    jaxpr = jaxpr.jaxpr if hasattr(jaxpr, "jaxpr") else jaxpr
+    # Consumer map: var -> list of (eqn index, primitive name).
+    consumers: dict = {}
+    for index, eqn in enumerate(jaxpr.eqns):
+        for var in eqn.invars:
+            if hasattr(var, "count"):  # Var, not Literal
+                consumers.setdefault(var, []).append(
+                    (index, eqn.primitive.name)
+                )
+    pairs = 0
+    consumed_adds = set()
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in ("pjit", "jit", "closed_call", "scan", "while", "cond"):
+            params = eqn.params
+            inner = params.get("jaxpr") or params.get("body_jaxpr")
+            if inner is None and "branches" in params:
+                inner = params["branches"][0]
+            if inner is not None:
+                pairs += count_fma_pairs(inner)
+            continue
+        if name != "mul":
+            continue
+        out = eqn.outvars[0]
+        uses = consumers.get(out, [])
+        if len(uses) == 1 and uses[0][1] in ("add", "sub", "add_any"):
+            if uses[0][0] not in consumed_adds:  # one mul per add
+                consumed_adds.add(uses[0][0])
+                pairs += 1
+    return pairs
 
 
 def solve_flops(rollout_count: int, steps: int, control_dof: int = 12) -> float:

@@ -154,13 +154,30 @@ def shard_rollout_fn(
 
     Per-device shapes are static: rollout_count must divide the rollout mesh
     axis size and the scenario count the scenario axis size.
+
+    ``rollout_fn`` returns ``((R_local, 2) costs, (S, state_dof) rollout-0
+    states)``; the states are only meaningful on the device holding rollout
+    0 (the first rollout shard), so they gate on axis_index and psum to
+    every device — replicated out_specs, a 6 KB collective.
     """
+
+    def _broadcast_states(states):
+        first = jax.lax.axis_index(axis) == 0
+        return jax.lax.psum(
+            jnp.where(first, states, jnp.zeros_like(states)), axis
+        )
+
     if scenario_axis is None:
+
+        def plain_local(noise, optimal_shifted, x0, time, ctx):
+            costs, states = rollout_fn(noise, optimal_shifted, x0, time, ctx)
+            return costs, _broadcast_states(states)
+
         return jax.shard_map(
-            rollout_fn,
+            plain_local,
             mesh=mesh,
             in_specs=(P(axis), P(), P(), P(), P()),
-            out_specs=P(axis),
+            out_specs=(P(axis), P()),
             check_vma=False,
         )
 
@@ -190,23 +207,28 @@ def shard_rollout_fn(
                 ctx._replace(wrench_horizon=horizon),
             )
 
-        costs = jax.lax.map(one, horizons)  # (C_local, R_local, 2)
+        costs, states = jax.lax.map(one, horizons)  # (C_local, R_local, 2)
+        # Rollout-0 states are scenario-independent (the forecast only
+        # enters the cost); any scenario slice is the trajectory. They
+        # replicate across the scenario axis by construction, so only the
+        # rollout-axis broadcast is needed.
+        states = _broadcast_states(states[0])
         if scenario_weights is None:
             total = jax.lax.psum(jnp.sum(costs, axis=0), scenario_axis)
-            return total / (local_scenarios * scenario_shards)
+            return total / (local_scenarios * scenario_shards), states
         local_w = jax.lax.dynamic_slice_in_dim(
             jnp.asarray(weights, costs.dtype),
             jax.lax.axis_index(scenario_axis) * local_scenarios,
             local_scenarios,
         )
         partial = jnp.einsum("c,crk->rk", local_w, costs)
-        return jax.lax.psum(partial, scenario_axis)
+        return jax.lax.psum(partial, scenario_axis), states
 
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis), P(), P(), P(), ctx_specs),
-        out_specs=P(axis),
+        out_specs=(P(axis), P()),
         check_vma=False,
     )
 

@@ -221,46 +221,58 @@ def run_cell_seeds(
 
 
 def main():
-    from assistedmanipulation_tpu.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    duration = float(os.environ.get("EXP_DURATION", 15.0))
-    seeds = [
-        int(s) for s in os.environ.get("EXP_SEEDS", "0,1,2").split(",")
-    ]
-    trajectory_names = os.environ.get(
-        "EXP_TRAJECTORIES", "pose,circle,figure_eight,rectangle"
-    ).split(",")
-    strategy_names = os.environ.get(
-        "EXP_STRATEGIES", "unassisted,average,locf,kalman_1,kalman_2"
-    ).split(",")
-
-    results = {}
-    for trajectory_name in trajectory_names:
-        results[trajectory_name] = {}
-        for strategy_name in strategy_names:
-            metrics = run_cell_seeds(
-                trajectory_name, strategy_name, duration, seeds
-            )
-            results[trajectory_name][strategy_name] = metrics
-            print(
-                f"{trajectory_name:13s} {strategy_name:10s} "
-                f"force {metrics['mean_force']:7.2f} N  "
-                f"{metrics['force_range']}  "
-                f"rmse {metrics['rmse']:7.4f} m  "
-                f"({metrics['wall_s']}s wall)",
-                flush=True,
-            )
-
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    payload = {
-        "duration": duration,
-        "seeds": seeds,
-        "pose_point": "initial huddled EE pose (see protocol note)",
-        "results": results,
-    }
-    with open(os.path.join(root, "experiments.json"), "w") as handle:
-        json.dump(payload, handle, indent=2)
+    if os.environ.get("EXP_RENDER_ONLY") == "1":
+        # Re-render EXPERIMENTS.md (including the artifact sections, which
+        # pick up refreshed *.json evidence files) from the committed
+        # experiments.json without re-running the episode matrix.
+        with open(os.path.join(root, "experiments.json")) as handle:
+            payload = json.load(handle)
+        duration = payload["duration"]
+        seeds = payload["seeds"]
+        results = payload["results"]
+        trajectory_names = list(results)
+        strategy_names = list(next(iter(results.values())))
+    else:
+        from assistedmanipulation_tpu.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        duration = float(os.environ.get("EXP_DURATION", 15.0))
+        seeds = [
+            int(s) for s in os.environ.get("EXP_SEEDS", "0,1,2").split(",")
+        ]
+        trajectory_names = os.environ.get(
+            "EXP_TRAJECTORIES", "pose,circle,figure_eight,rectangle"
+        ).split(",")
+        strategy_names = os.environ.get(
+            "EXP_STRATEGIES", "unassisted,average,locf,kalman_1,kalman_2"
+        ).split(",")
+
+        results = {}
+        for trajectory_name in trajectory_names:
+            results[trajectory_name] = {}
+            for strategy_name in strategy_names:
+                metrics = run_cell_seeds(
+                    trajectory_name, strategy_name, duration, seeds
+                )
+                results[trajectory_name][strategy_name] = metrics
+                print(
+                    f"{trajectory_name:13s} {strategy_name:10s} "
+                    f"force {metrics['mean_force']:7.2f} N  "
+                    f"{metrics['force_range']}  "
+                    f"rmse {metrics['rmse']:7.4f} m  "
+                    f"({metrics['wall_s']}s wall)",
+                    flush=True,
+                )
+
+        payload = {
+            "duration": duration,
+            "seeds": seeds,
+            "pose_point": "initial huddled EE pose (see protocol note)",
+            "results": results,
+        }
+        with open(os.path.join(root, "experiments.json"), "w") as handle:
+            json.dump(payload, handle, indent=2)
 
     lines = [
         "# EXPERIMENTS — assisted-manipulation matrix on TPU",
@@ -590,6 +602,39 @@ def _artifact_sections(root):
                 "(the batch scales with the mesh). DCN multi-host adds "
                 "only the same 68 KB once per solve across hosts.",
             ]
+
+    path = os.path.join(root, "MULTIHOST.json")
+    if os.path.exists(path):
+        with open(path) as handle:
+            mh = json.load(handle)
+        lines += [
+            "",
+            "### Multi-host: an ACTUAL two-process run "
+            "(scripts/multihost_check.py, MULTIHOST.json, "
+            "tests/test_multihost.py)",
+            "",
+            "The multi-process code path is executed, not merely "
+            "predicted: 2 processes x 4 CPU devices each join a "
+            "localhost coordinator via `jax.distributed.initialize` "
+            "(`parallel/sharding.initialize_multi_host`) with gloo CPU "
+            "collectives, build the fused-sampler flagship on the "
+            "process-SPANNING 8-device mesh, and run two full planner "
+            "updates with cross-process psum/all-gather. Against the "
+            "single-process 8-device placement:",
+            "",
+            f"- sampled noise bits: "
+            f"{'**bit-identical**' if mh.get('noise_bit_identical') else 'DIFFER'} "
+            "(per-shard `fold_in` keying is placement-invariant; the "
+            "negated-optimal static lane is excluded as in the "
+            "dryrun gate),",
+            f"- optimal control max |err|: "
+            f"{mh.get('optimal_max_abs_err'):.2e} (f32 reduction order),",
+            f"- optimal-rollout states max |err|: "
+            f"{mh.get('optimal_rollout_states_max_abs_err'):.2e}.",
+            "",
+            "The efficiency model above now sits on an executed "
+            "multi-process substrate rather than an untested init path.",
+        ]
 
     path = os.path.join(root, "scenario_value.json")
     if os.path.exists(path):

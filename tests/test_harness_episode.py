@@ -77,18 +77,33 @@ def test_episode_engine_with_safety_filter(tmp_path):
     assert np.isfinite(data).all()
 
 
-def test_harness_rejects_batch_optimal_mode(tmp_path):
-    """The serving-only optimal_rollout_mode='batch' publishes a stale
-    optimal cost and no optimal states; the harness must refuse it rather
-    than silently log them (cases.py guard)."""
-    import pytest
-
-    from assistedmanipulation_tpu.harness import cases
-
-    patch = _patch(0.1)
+def test_harness_accepts_batch_optimal_mode(tmp_path):
+    """The serving optimal_rollout_mode='batch' now publishes REAL
+    optimal-rollout observability (the zero-noise rollout's cost and
+    per-step states, one update of lag — VERDICT r4 #4), so the harness
+    accepts it and the mppi CSV tree stays populated."""
+    patch = _patch(0.2)
     patch["actor"]["mppi"]["optimal_rollout_mode"] = "batch"
-    with pytest.raises(ValueError, match="resimulate"):
-        cases.CircleTest(str(tmp_path), patch=patch)
+    ok = TestSuite.run("circle", str(tmp_path), patch=patch)
+    assert ok
+    (run_folder,) = [entry.path for entry in os.scandir(tmp_path)]
+    rollout = np.genfromtxt(
+        os.path.join(run_folder, "mppi", "optimal_rollout.csv"),
+        delimiter=",",
+        skip_header=1,
+    )
+    cost = np.genfromtxt(
+        os.path.join(run_folder, "mppi", "optimal_cost.csv"),
+        delimiter=",",
+        skip_header=1,
+    )
+    updates = (0.2 / 0.005) // 10
+    assert rollout.shape[0] == updates * 10  # steps rows per update
+    assert np.isfinite(rollout).all()
+    assert cost.shape[0] == updates and np.isfinite(cost).all()
+    # The batch-mode optimal cost is the zero-noise rollout's, which is
+    # genuinely nonzero once the episode is under way.
+    assert np.abs(cost[:, 2]).max() > 0.0
 
 
 def test_lagrangian_case_mixed_backends(tmp_path):

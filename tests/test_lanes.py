@@ -83,12 +83,19 @@ def test_lane_rollout_matches_vmap(rng, ctx_none):
     time = jnp.asarray(0.0, dtype=jnp.float64)
     ctx = None if ctx_none else make_ctx(steps)
 
-    ref = planner._rollout_batch(noise, optimal, x0, time, ctx)
-    got = lanes_fn(noise, optimal, x0, time, ctx)
+    ref, ref_states = planner._rollout_batch(noise, optimal, x0, time, ctx)
+    got, got_states = lanes_fn(noise, optimal, x0, time, ctx)
 
     assert got.shape == (R, 2)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-9
+    )
+    # Rollout-0 (zero-noise) pre-step states agree between the lanes path
+    # and the generic vmap batch (q/v exactly; the wrench/energy tail is
+    # x0's by both constructions).
+    assert got_states.shape == (steps, 31)
+    np.testing.assert_allclose(
+        np.asarray(got_states), np.asarray(ref_states), rtol=1e-9, atol=1e-9
     )
 
 

@@ -68,12 +68,20 @@ def test_pallas_matches_lanes(rng, with_ctx):
     time = jnp.asarray(0.0, dtype=jnp.float32)
     ctx = _make_ctx() if with_ctx else None
 
-    expected = np.asarray(lanes_fn(noise, optimal, x0, time, ctx))
-    got = np.asarray(pallas_fn(noise, optimal, x0, time, ctx))
+    expected, expected_states = lanes_fn(noise, optimal, x0, time, ctx)
+    got, got_states = pallas_fn(noise, optimal, x0, time, ctx)
+    expected, got = np.asarray(expected), np.asarray(got)
 
     assert got.shape == (R, 2)
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+    # Rollout-0 states streamed out of the kernel match the lanes path
+    # (both are the zero-noise static rollout's pre-step trajectory).
+    assert np.asarray(got_states).shape == (STEPS, 31)
+    np.testing.assert_allclose(
+        np.asarray(got_states), np.asarray(expected_states),
+        rtol=2e-5, atol=2e-5,
+    )
 
 
 def test_pallas_planner_update_runs(rng):
@@ -272,7 +280,7 @@ def test_pallas_sampler_costs_match_rollout_fn(rng):
     got = sampler._costs(controls_lane, x0, t, ctx)
 
     noise_logical = jnp.asarray(_lane_to_logical(noise_lane, R))
-    expected = rollout_fn(noise_logical, optimal_shifted, x0, t, ctx)
+    expected, _ = rollout_fn(noise_logical, optimal_shifted, x0, t, ctx)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), rtol=1e-6, atol=1e-6
     )
@@ -386,6 +394,78 @@ def test_fused_assembly_matches_two_pass_sampler(rng, shift, do_shift):
         np.testing.assert_array_equal(
             np.asarray(costs_f), np.asarray(costs_t)
         )
+
+
+@pytest.mark.parametrize("fused_assembly,shards", [
+    (True, 1), (False, 1), (False, 2),
+])
+def test_sampler_emit_states_matches_lanes(rng, fused_assembly, shards):
+    """``emit_states=True`` streams the zero-noise rollout's per-step
+    states out of the kernel (the "batch" optimal_rollout_mode's
+    observability). They must equal the lanes rollout_fn's rollout-0
+    states on the SAME assembled noise — including under shards=2, where
+    rollout 0 lives in shard 0 only."""
+    from assistedmanipulation_tpu.kernels.lane_rollout import (
+        make_lanes_rollout_fn,
+    )
+    from assistedmanipulation_tpu.kernels.pallas_rollout import PallasSampler
+
+    model = frankaridgeback_model()
+    objective_cfg = ObjectiveConfiguration()
+    robot_cfg = fr.Configuration()
+    R = 256
+    sampler = PallasSampler(
+        model,
+        objective_cfg,
+        robot_cfg,
+        rollout_count=R,
+        steps=STEPS,
+        dt=DT,
+        diag_scale=np.sqrt(np.asarray(fr.DEFAULT_COVARIANCE)),
+        sublanes=1,
+        interpret=True,
+        fused_assembly=fused_assembly,
+        shards=shards,
+        emit_states=True,
+    )
+    old = sampler.init_noise(jnp.float32)
+    keep = jnp.zeros((R,), bool)
+    optimal = jnp.asarray(0.1 * rng.standard_normal((STEPS, 12)), jnp.float32)
+    optimal_shifted = jnp.asarray(
+        0.1 * rng.standard_normal((STEPS, 12)), jnp.float32
+    )
+    x0 = jnp.asarray(fr.make_state("huddled"), jnp.float32)
+    t = jnp.asarray(0.0, jnp.float32)
+    ctx = _make_ctx()
+    costs, noise, states = sampler.sample_and_rollout(
+        jax.random.key(11), keep, jnp.asarray(0, jnp.int32),
+        jnp.asarray(False), old, optimal, optimal_shifted, x0, t, ctx,
+    )
+    assert costs.shape == (R, 2) and states.shape == (STEPS, 31)
+
+    lanes_fn = make_lanes_rollout_fn(
+        model, objective_cfg, robot_cfg, STEPS, DT
+    )
+    noise_logical = jnp.asarray(
+        np.concatenate(
+            [
+                _lane_to_logical(
+                    noise[s * sampler.local_grid : (s + 1) * sampler.local_grid],
+                    sampler.local_rollouts,
+                )
+                for s in range(shards)
+            ]
+        )
+    )
+    lanes_costs, lanes_states = lanes_fn(
+        noise_logical, optimal_shifted, x0, t, ctx
+    )
+    np.testing.assert_allclose(
+        np.asarray(states), np.asarray(lanes_states), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(costs), np.asarray(lanes_costs), rtol=2e-5, atol=2e-5
+    )
 
 
 def test_inkernel_rng_is_tpu_only():

@@ -79,17 +79,28 @@ def test_scenario_mean_matches_individual_rollouts(rng):
             horizon=STEPS * DT,
         )
 
-    ensemble = np.asarray(scenario_fn(noise, optimal, x0, time, ctx(horizons)))
+    ensemble, ensemble_states = scenario_fn(
+        noise, optimal, x0, time, ctx(horizons)
+    )
+    ensemble = np.asarray(ensemble)
     singles = np.stack(
         [
-            np.asarray(rollout_fn(noise, optimal, x0, time, ctx(horizons[c])))
+            np.asarray(
+                rollout_fn(noise, optimal, x0, time, ctx(horizons[c]))[0]
+            )
             for c in range(C)
         ]
     )
     np.testing.assert_allclose(ensemble, singles.mean(axis=0), rtol=1e-5, atol=1e-5)
+    # Rollout-0 states pass through from scenario 0 (dynamics are
+    # forecast-independent).
+    single_states = rollout_fn(noise, optimal, x0, time, ctx(horizons[0]))[1]
+    np.testing.assert_array_equal(
+        np.asarray(ensemble_states), np.asarray(single_states)
+    )
 
     # Single-scenario ctx passes straight through.
     passthrough = np.asarray(
-        scenario_fn(noise, optimal, x0, time, ctx(horizons[0]))
+        scenario_fn(noise, optimal, x0, time, ctx(horizons[0]))[0]
     )
     np.testing.assert_array_equal(passthrough, singles[0])

@@ -137,14 +137,25 @@ def test_fused_sampler_1d_mesh_matches_unsharded_twin():
     state = flagship.init(seed=1)
     ctx = flagship.make_ctx()
     state, _ = flagship.update(state, flagship.x0, 0.0, ctx)
-    state, _ = flagship.update(state, flagship.x0, 0.01, ctx)
+    state, info = flagship.update(state, flagship.x0, 0.01, ctx)
     assert not state.noise.sharding.is_fully_replicated
 
     single = build_flagship(sampler_shards=8, **kwargs)
     s = single.init(seed=1)
     sctx = single.make_ctx()
     s, _ = single.update(s, single.x0, 0.0, sctx)
-    s, _ = single.update(s, single.x0, 0.01, sctx)
+    s, sinfo = single.update(s, single.x0, 0.01, sctx)
+
+    # batch-mode optimal_rollout states (rollout 0, streamed out of the
+    # kernel on the shard holding it and psum-broadcast): finite, real,
+    # and matching the single-device twin.
+    np.testing.assert_allclose(
+        np.asarray(info.optimal_rollout_states),
+        np.asarray(sinfo.optimal_rollout_states),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    assert np.isfinite(np.asarray(info.optimal_rollout_states)).all()
 
     # Identical sampled bits across placements; the negated-optimal static
     # lane absorbs f32 reduction-order differences — zeroed before compare.
