@@ -67,6 +67,32 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
+def max_sublanes_for_vmem(
+    steps: int, horizon_blocks: int, requested: int = 16
+) -> int:
+    """Largest power-of-two tile height whose horizon-sized VMEM blocks fit
+    the scoped budget (SURVEY §7's 50-500 step scan-efficiency hard part:
+    the per-program (S, 12, sub, 128) block grows linearly with the
+    horizon, so S=500 at 16 sublanes would need ~49 MB — the tile must
+    shrink instead of the kernel failing to compile).
+
+    ``horizon_blocks``: how many horizon-sized streams the kernel
+    pipelines per grid program (two-pass rollout kernel: 1 control block;
+    fused assembly: old + fresh in, noise out = 3; in-kernel RNG: 2).
+    Each is double-buffered across grid steps; 10% headroom covers the
+    scratch refs, SMEM tables and the states side output."""
+    per_sublane = 2 * horizon_blocks * steps * 12 * LANES * 4
+    if requested * per_sublane <= _VMEM_LIMIT_BYTES * 0.9:
+        return requested  # explicit choices that fit are honored verbatim
+    best = 1
+    candidate = 2
+    while candidate < requested:
+        if candidate * per_sublane <= _VMEM_LIMIT_BYTES * 0.9:
+            best = candidate
+        candidate *= 2
+    return best
+
+
 def _write_lane0_states(states_ref, s, q_ref, v_ref, is_prog0, gated):
     """Stream the zero-noise rollout's pre-step (q, v) out of the batch:
     rollout 0 is lane (0, 0) of grid program 0, so write the first sublane
@@ -460,6 +486,7 @@ def make_pallas_rollout_fn(
     "batch" optimal_rollout_mode's observability; a (S, 24, 1, 128) side
     output written by grid program 0, ~25 KB)."""
     _, kp, kd = robot_cfg.resolve()
+    sublanes = max_sublanes_for_vmem(steps, 1, sublanes)
     tile = sublanes * LANES
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -709,6 +736,12 @@ class PallasSampler:
             fused_assembly = True  # the RNG lives in the fused kernel
         if fused_assembly:
             sublanes = min(sublanes, 8)
+        # Long horizons shrink the tile so the horizon-sized VMEM blocks
+        # keep fitting (S=500 at 16 sublanes would need ~49 MB).
+        horizon_blocks = 3 if fused_assembly else 1
+        if inkernel_rng:
+            horizon_blocks = 2
+        sublanes = max_sublanes_for_vmem(steps, horizon_blocks, sublanes)
         if mesh is not None:
             shards = int(mesh.shape[rollout_axis])
         if rollout_count % shards:

@@ -108,6 +108,15 @@ class Configuration:
     # 36-thread block partitioning (mppi.cpp:277) has no TPU analog; the
     # rollout axis shards over the mesh axis named here instead.
     rollout_axis: str = "rollouts"
+    # Elite selection strategy. Only the keep_best BOUNDARY is semantically
+    # load-bearing (mppi.cpp:219-231 — ordering below it is never
+    # observable), so:
+    # - "lexsort": full lexicographic sort over (V, S, index) — the round-4
+    #   implementation, exact and simple (28 us of a 950 us solve).
+    # - "threshold": two-stage counting-threshold select (top_k on V, then
+    #   top_k on S within the V-boundary tie set, index tiebreak) — the
+    #   SAME keep set bit-for-bit, no total order. A/B'd on chip (PERF.md).
+    elite_select: str = "lexsort"
     # How the published optimal trajectory's cost/states are obtained:
     # - "resimulate": re-rollout the post-update optimal sequence
     #   (mppi::Trajectory::filter, mppi.cpp:450-479 — reference parity).
@@ -423,12 +432,36 @@ class Planner:
         S = jnp.where(
             jnp.isnan(state.costs[:, 1]) | is_static, jnp.inf, state.costs[:, 1]
         )
-        # Tiebreak: sampled rollouts in index order first, statics last —
-        # identical ranks to sorting costs[2:] alone.
-        tiebreak = jnp.where(is_static, R + row, row)
-        order = jnp.lexsort((tiebreak, S, V))
-        rank = jnp.argsort(order, stable=True)  # rank[i] = position of rollout i
-        keep_mask = rank < self.keep_best  # (R,); never True for statics
+        if self.configuration.elite_select == "threshold" and self.keep_best > 0:
+            # Counting-threshold select: only the keep_best boundary is
+            # needed, not a total order. Stage 1: the K-th smallest V.
+            # Stage 2: among V == kthV, the (K - #{V < kthV})-th smallest
+            # S. Ties on (V, S) at the boundary break by index (sampled
+            # rollouts only), matching the lexsort's stable tiebreak
+            # bit-for-bit.
+            K = self.keep_best
+            kth_v = -jax.lax.top_k(-V, K)[0][-1]
+            less_v = V < kth_v
+            eq_v = V == kth_v
+            s_in_tie = jnp.where(eq_v, S, jnp.inf)
+            neg_sorted_s = jax.lax.top_k(-s_in_tie, K)[0]  # ascending in S
+            kth_s = -neg_sorted_s[
+                jnp.clip(K - jnp.sum(less_v) - 1, 0, K - 1)
+            ]
+            lex_less = less_v | (eq_v & (S < kth_s))
+            boundary = eq_v & (S == kth_s) & ~is_static
+            boundary_rank = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+            remaining = K - jnp.sum(lex_less)
+            keep_mask = (
+                lex_less | (boundary & (boundary_rank < remaining))
+            ) & ~is_static
+        else:
+            # Tiebreak: sampled rollouts in index order first, statics
+            # last — identical ranks to sorting costs[2:] alone.
+            tiebreak = jnp.where(is_static, R + row, row)
+            order = jnp.lexsort((tiebreak, S, V))
+            rank = jnp.argsort(order, stable=True)  # position of rollout i
+            keep_mask = rank < self.keep_best  # (R,); never True for statics
 
         rng_typed, key = jax.random.split(
             jax.random.wrap_key_data(state.rng, impl=self._rng_impl)

@@ -407,19 +407,30 @@ def _protocol_notes(seeds):
         f"median over seeds {seeds} with [min-max] recorded in "
         "experiments.json.",
         "",
-        "**Remaining residual: assisted rectangle ~1.2x.** With pose and "
-        "the unassisted row closed, the one cell family still past 15% is "
-        "the assisted rectangle (19.3-21.7 N vs ref 15.5-16.7; unassisted "
-        "rectangle matches at 34.7 vs 34.2). The excess is BROAD, not "
-        "reversal-concentrated (mean force 18.2 N mid-line vs 23.0 within "
-        "0.3 s of the 2 s line-sweep reversals): our assistance is "
-        "uniformly ~20% weaker on the 0.5 m/s straight-line sweep — twice "
-        "the circle's speed — while per-speed ordering matches the "
-        "reference (straight line easier than curve in both). Trajectory "
-        "configs are verbatim-identical (width 1, height 0, velocity 0.5, "
-        "trajectory.hpp:248-255); with seed spreads of +-1 N this is a "
-        "genuine behavioral residual of the rollout-plant/assistance "
-        "interaction at higher sweep speed, recorded as the known gap.",
+        "**Remaining residual: assisted rectangle ~1.2x — the CONTROLLER "
+        "PIPELINE IS EXONERATED by the reference-pipeline twin** "
+        "(scripts/rectangle_twin.py, RECTANGLE_TWIN.json, round 5). The "
+        "one cell family still past 15% is the assisted rectangle "
+        "(19.3-21.7 N vs ref 15.5-16.7; unassisted matches at 34.7 vs "
+        "34.2). The excess is BROAD, not reversal-concentrated (mean "
+        "force 18.2 N mid-line vs 23.0 near the 2 s reversals): "
+        "assistance is uniformly ~20% weaker on the 0.5 m/s sweep. "
+        "Round 5 ran the decisive split: the float64 reference-pipeline "
+        "replayer (parity.py — serial mt19937 draws, f64 scalar-cost "
+        "accumulation, MovingExtendedWindow SG, the reference's own "
+        "update semantics, pinned to 8e-14 against the engine on recorded "
+        "noise) as the CLOSED-LOOP controller on this plant: assisted "
+        "median 18.5 N over seeds 0-2 (17.9/18.5/20.5) — inside the "
+        "engine's band, NOT the reference's — and unassisted 36.2 "
+        "(engine 34.7, ref 34.2). The engine-side contribution to the "
+        "residual is therefore bounded by the ~1 N twin-vs-engine "
+        "overlap; the remaining ~2-4 N vs the reference's published "
+        "single-run numbers lives on the plant/human side at sweep "
+        "speed — consistent with the r3 decomposition (regularized "
+        "Coulomb + implicit-PD base drag vs RaiSim's LCP contact "
+        "friction, force_offset_sweep.json) — or in the reference's "
+        "unknowable single-seed run conditions (our own seed spread "
+        "spans 2.6 N).",
         "",
         "**What the plant-parameter sweep ruled out** "
         "(scripts/force_offset_sweep.py, force_offset_sweep.json): base "
@@ -634,6 +645,92 @@ def _artifact_sections(root):
             "",
             "The efficiency model above now sits on an executed "
             "multi-process substrate rather than an untested init path.",
+        ]
+
+    path = os.path.join(root, "RECTANGLE_TWIN.json")
+    if os.path.exists(path):
+        with open(path) as handle:
+            tw = json.load(handle)
+        assisted = ", ".join(
+            f"{c['mean_force']:.1f}" for c in tw.get("cells", [])
+        )
+        unassisted = ", ".join(
+            f"{c['mean_force']:.1f}" for c in tw.get("unassisted_cells", [])
+        )
+        lines += [
+            "",
+            "## Reference-pipeline twin on the rectangle "
+            "(scripts/rectangle_twin.py, RECTANGLE_TWIN.json)",
+            "",
+            "The float64 replayer of the reference's OWN update pipeline "
+            "(parity.py) run as the closed-loop controller on this plant "
+            f"({tw.get('duration')} s, seeds 0-2):",
+            "",
+            "| row | twin (median [seeds]) | engine | reference |",
+            "|---|---|---|---|",
+            f"| assisted (kalman_1) | "
+            f"{tw.get('median_mean_force'):.1f} N [{assisted}] | "
+            f"{tw['engine_assisted_rectangle_range'][0]}-"
+            f"{tw['engine_assisted_rectangle_range'][1]} N | "
+            f"{tw['reference_assisted_rectangle_range'][0]}-"
+            f"{tw['reference_assisted_rectangle_range'][1]} N |",
+            f"| unassisted | "
+            f"{tw.get('unassisted_median_mean_force'):.1f} N [{unassisted}] | "
+            f"{tw['unassisted_rectangle']['engine']} N | "
+            f"{tw['unassisted_rectangle']['reference']} N |",
+            "",
+            "The twin reproduces the ENGINE's numbers on both rows, so the "
+            "assisted-rectangle residual is not in the update pipeline "
+            "(sampling, weighting, smoothing, f32) — see the protocol "
+            "notes above for the plant-side attribution.",
+        ]
+
+    path = os.path.join(root, "POSE_DITHER.json")
+    if os.path.exists(path):
+        with open(path) as handle:
+            pd = json.load(handle)
+        lines += [
+            "",
+            "## Pose-hold dither knob map "
+            "(scripts/pose_dither_sweep.py, POSE_DITHER.json)",
+            "",
+            "One knob at a time from the reference defaults "
+            "(base.hpp:69-101), pose-hold episode, kalman_1 assisted, "
+            f"{pd.get('duration')} s, median of seeds {pd.get('seeds')}; "
+            "tail = second half:",
+            "",
+            "| config | mean force (N) | tail force (N) | tail EE dither "
+            "RMS (mm) |",
+            "|---|---|---|---|",
+        ]
+        for row in pd.get("rows", []):
+            lines.append(
+                f"| {row['name']} | {row['mean_force']:.2f} "
+                f"{row['force_range']} | {row['tail_mean_force']:.2f} | "
+                f"{row['tail_dither_rms_m'] * 1000:.1f} |"
+            )
+        lines += [
+            "",
+            "Conclusion: **no reference-consistent configuration "
+            "reproduces the reference's ~0.0-0.2 N pose row; the measured "
+            "floor is ~1 N** (sg_20 at 0.98). Tail force tracks dither "
+            "amplitude across every knob (keep_10 at 13 mm -> 3.4 N, "
+            "grad_1.0 at 10 mm -> 2.6 N, sg_15 at 1.7 mm -> 1.1 N) — "
+            "confirming the r4 dither mechanism — but SHRINKING THE "
+            "SAMPLING NOISE DOES NOT HELP (covariance x0.05 is WORSE at "
+            "1.55-1.81 N: the controller needs exploration to hold "
+            "posture against gravity, and what it loses in dither it "
+            "pays back in tracking lag the human PID supplies). The "
+            "remaining candidate mechanism for the reference's ~0 N is "
+            "its friction MODEL, not its controller config: RaiSim's LCP "
+            "contact friction has true static stiction, so a base at "
+            "rest under +-1 N of controller dither does not creep and "
+            "the hold error stays at machine zero; this plant's "
+            "regularized Coulomb (PARITY.md, models/dynamics.py) has no "
+            "stiction regime, so millimeter creep under dither engages "
+            "the kp=300 human PID continuously. Consistent with the "
+            "inert-controller control (4e-5 N, r4) and with every "
+            "moving-trajectory cell matching.",
         ]
 
     path = os.path.join(root, "scenario_value.json")

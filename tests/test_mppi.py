@@ -270,6 +270,53 @@ def test_base_obstacle_avoidance():
     assert min_gap > 0.0  # never entered the obstacle
 
 
+def test_threshold_elite_select_matches_lexsort(rng):
+    """elite_select="threshold" must produce the SAME keep set as the full
+    lexsort, bit-for-bit, across ties, NaN poisoning, saturated channels
+    and the all-poisoned degenerate case (only the keep_best boundary is
+    semantically observable — mppi.cpp:219-231)."""
+    import dataclasses
+
+    base = make_planner(rollouts=40)
+    planner_t = mppi.Planner(
+        dataclasses.replace(base.configuration, elite_select="threshold"),
+        make_point_mass_plant(PointMassConfig(dimensions=2)),
+    )
+    R = base.rollout_count
+    time = jnp.asarray(0.33, jnp.float32)
+
+    def masks(costs):
+        state = base.init(seed=0)._replace(
+            costs=jnp.asarray(costs, jnp.float32)
+        )
+        keep_a = base._sample_meta(state, time)[4]
+        keep_b = planner_t._sample_meta(state, time)[4]
+        return np.asarray(keep_a), np.asarray(keep_b)
+
+    cases = []
+    # Generic continuous costs.
+    cases.append(rng.standard_normal((R, 2)))
+    # Heavy ties on both channels (quantized values).
+    cases.append(np.round(rng.standard_normal((R, 2)) * 2) / 2)
+    # Saturation-style V channel (small integer counts) + tied S.
+    v = rng.integers(0, 3, R).astype(float)
+    s = np.round(rng.standard_normal(R), 1)
+    cases.append(np.stack([v, s], -1))
+    # NaN-poisoned rollouts.
+    poisoned = rng.standard_normal((R, 2))
+    poisoned[rng.random(R) < 0.3] = np.nan
+    cases.append(poisoned)
+    # All poisoned (keep set empty of meaning; statics still excluded).
+    cases.append(np.full((R, 2), np.nan))
+    # All identical (every boundary decision is an index tiebreak).
+    cases.append(np.ones((R, 2)))
+
+    for index, costs in enumerate(cases):
+        keep_a, keep_b = masks(costs)
+        np.testing.assert_array_equal(keep_a, keep_b, err_msg=f"case {index}")
+        assert keep_a[:2].sum() == 0  # statics never kept
+
+
 def test_optimal_rollout_batch_mode():
     """optimal_rollout_mode="batch" publishes bit-identical control
     sequences (the re-rollout never alters them without a filter) and reads

@@ -468,6 +468,38 @@ def test_sampler_emit_states_matches_lanes(rng, fused_assembly, shards):
     )
 
 
+def test_vmem_sublane_derivation_long_horizons():
+    """SURVEY §7 / VERDICT r4 #6: the tile height must shrink with the
+    horizon so the per-program (S, 12, sub, 128) VMEM blocks keep fitting
+    the 24 MB scoped budget — S=500 at 16 sublanes would need ~49 MB and
+    fail to compile. S=50 behavior is unchanged (16 two-pass / 8 fused)."""
+    from assistedmanipulation_tpu.kernels.pallas_rollout import (
+        PallasSampler,
+        max_sublanes_for_vmem,
+    )
+
+    assert max_sublanes_for_vmem(50, 1) == 16
+    assert max_sublanes_for_vmem(50, 3, 8) == 8
+    assert max_sublanes_for_vmem(100, 1) == 16
+    assert max_sublanes_for_vmem(200, 1) == 8
+    assert max_sublanes_for_vmem(500, 1) == 2
+    assert max_sublanes_for_vmem(500, 3, 8) == 1
+
+    sampler = PallasSampler(
+        frankaridgeback_model(),
+        ObjectiveConfiguration(),
+        fr.Configuration(),
+        rollout_count=512,
+        steps=500,
+        dt=0.01,
+        diag_scale=np.sqrt(np.asarray(fr.DEFAULT_COVARIANCE)),
+        sublanes=16,
+        interpret=True,
+    )
+    assert sampler.sublanes == 2
+    assert sampler.grid == 2  # 512 rollouts / (2 * 128) per tile
+
+
 def test_inkernel_rng_is_tpu_only():
     """The in-kernel PRNG sampler (Box-Muller on pltpu.prng_random_bits)
     has no interpret-mode lowering; constructing it for CPU must fail
