@@ -129,6 +129,26 @@ def test_lanes_planner_update_matches_vmap(rng):
     )
 
 
+def test_long_horizon_planner_update(rng):
+    """SURVEY §7's 50-500 step scan-efficiency hard part, correctness leg:
+    a 200-step-horizon planner update on the fused lanes backend runs,
+    stays finite and bounded (the TPU perf leg is PERF.md's horizon
+    scaling table; the VMEM tile derivation is
+    test_pallas_rollout.py::test_vmem_sublane_derivation_long_horizons)."""
+    steps = 200
+    cfg = make_configuration(rollouts=4, steps=steps)
+    planner = make_lanes_planner(cfg)
+    x0 = jnp.asarray(fr.make_state("huddled", energy=10.0), dtype=jnp.float64)
+    state = planner.init(seed=3)
+    state, info = planner.update(state, x0, 0.0, make_ctx(steps))
+    optimal = np.asarray(state.optimal_control)
+    assert optimal.shape == (steps, 12)
+    assert np.isfinite(optimal).all()
+    assert np.isfinite(np.asarray(info.costs)).all()
+    assert (optimal >= np.asarray(fr.DEFAULT_CONTROL_MIN) - 1e-9).all()
+    assert (optimal <= np.asarray(fr.DEFAULT_CONTROL_MAX) + 1e-9).all()
+
+
 def test_lane_fk_matches_kinematics(rng):
     """Lane FK scalar graphs materialize to the kinematics.py transforms."""
     q = rng.uniform(-1.0, 1.0, (12,))
