@@ -67,6 +67,48 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
+def _use_vmem_tables(steps: int, grid: int) -> bool:
+    """Whether the per-step scalar tables must live in VMEM instead of
+    SMEM. XLA allocates an SMEM input window PER GRID STEP (x2 when
+    double-buffered), so at S=500 with ~80 programs the (S, .) tables
+    alone exceed the 1 MB SMEM budget ("Ran out of memory in memory
+    space smem. Used 1.25M of 1.00M"). A VMEM block with a constant
+    index map stays resident across grid steps (one copy, ~16-300 KB
+    lane-padded); the kernels index the refs identically either way.
+    PALLAS_VMEM_TABLES=1/0 forces the choice (tests force 1 to cover the
+    long-horizon spec path at interpret-friendly sizes)."""
+    forced = _os.environ.get("PALLAS_VMEM_TABLES")
+    if forced is not None:
+        return forced == "1"
+    return 2 * grid * steps * 8 * 4 > 700_000
+
+
+def _table_spec(shape, vmem: bool):
+    """BlockSpec for one per-step scalar table: SMEM (short horizons) or
+    a resident whole-array VMEM block (long horizons)."""
+    if not vmem:
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+    zeros = tuple(0 for _ in shape)
+    return pl.BlockSpec(shape, lambda g, _z=zeros: _z,
+                        memory_space=pltpu.VMEM)
+
+
+def _standard_table_specs(steps: int, vmem: bool):
+    """in_specs for the 8 shared scalar tables (q0, v0, energy stay SMEM —
+    constant-size; the five (S, .) per-step tables follow ``vmem``)."""
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return [
+        smem,  # q0
+        smem,  # v0
+        smem,  # energy
+        _table_spec((steps, 3), vmem),  # target
+        _table_spec((steps, 1), vmem),  # inv_norm2
+        _table_spec((steps, 1), vmem),  # position_cost
+        _table_spec((steps, 1), vmem),  # velocity_target
+        _table_spec((steps, 1), vmem),  # discounts
+    ]
+
+
 def max_sublanes_for_vmem(
     steps: int, horizon_blocks: int, requested: int = 16
 ) -> int:
@@ -543,15 +585,9 @@ def make_pallas_rollout_fn(
         out, states_out = pl.pallas_call(
             kernel,
             grid=(G,),
-            in_specs=[
-                smem(),  # q0
-                smem(),  # v0
-                smem(),  # energy
-                smem(),  # target
-                smem(),  # inv_norm2
-                smem(),  # position_cost
-                smem(),  # velocity_target
-                smem(),  # discounts
+            in_specs=_standard_table_specs(
+                steps, _use_vmem_tables(steps, G)
+            ) + [
                 pl.BlockSpec(
                     (None, steps, 12, sublanes, LANES),
                     lambda g: (g, 0, 0, 0, 0),
@@ -886,9 +922,9 @@ class PallasSampler:
         out = pl.pallas_call(
             self._kernel,
             grid=(grid,),
-            in_specs=[
-                smem(), smem(), smem(), smem(), smem(), smem(), smem(),
-                smem(),
+            in_specs=_standard_table_specs(
+                steps, _use_vmem_tables(steps, grid)
+            ) + [
                 pl.BlockSpec(
                     (None, steps, 12, self.sublanes, LANES),
                     lambda g: (g, 0, 0, 0, 0),
@@ -995,17 +1031,16 @@ class PallasSampler:
             states_spec, states_shape = self._states_out_spec()
             out_specs.append(states_spec)
             out_shape.append(states_shape)
+        vmem_tables = _use_vmem_tables(steps, grid)
         outs = pl.pallas_call(
             self._fused_kernel,
             grid=(grid,),
-            in_specs=[
-                smem(), smem(), smem(), smem(), smem(), smem(), smem(),
-                smem(),  # the 8 shared scalar tables
+            in_specs=_standard_table_specs(steps, vmem_tables) + [
                 smem(),  # shift_by
                 smem(),  # do_shift
                 smem(),  # first_shard
-                smem(),  # optimal (pre-shift)
-                smem(),  # optimal_shifted
+                _table_spec((steps, 12), vmem_tables),  # optimal (pre-shift)
+                _table_spec((steps, 12), vmem_tables),  # optimal_shifted
                 pl.BlockSpec(
                     (None, steps, 12, sub, LANES),
                     lambda g: (g, 0, 0, 0, 0),
@@ -1096,19 +1131,18 @@ class PallasSampler:
             states_spec, states_shape = self._states_out_spec()
             out_specs_ik.append(states_spec)
             out_shape_ik.append(states_shape)
+        vmem_tables = _use_vmem_tables(steps, grid)
         outs = pl.pallas_call(
             self._inkernel_kernel,
             grid=(grid,),
-            in_specs=[
-                smem(), smem(), smem(), smem(), smem(), smem(), smem(),
-                smem(),  # the 8 shared scalar tables
+            in_specs=_standard_table_specs(steps, vmem_tables) + [
                 smem(),  # shift_by
                 smem(),  # do_shift
                 smem(),  # first_shard
                 smem(),  # seed words
                 smem(),  # noise scale
-                smem(),  # optimal (pre-shift)
-                smem(),  # optimal_shifted
+                _table_spec((steps, 12), vmem_tables),  # optimal (pre-shift)
+                _table_spec((steps, 12), vmem_tables),  # optimal_shifted
                 pl.BlockSpec(
                     (None, steps, 12, sub, LANES),
                     lambda g: (g, 0, 0, 0, 0),

@@ -468,6 +468,35 @@ def test_sampler_emit_states_matches_lanes(rng, fused_assembly, shards):
     )
 
 
+def test_vmem_tables_match_smem_tables(rng, monkeypatch):
+    """The long-horizon VMEM table placement (one resident block instead
+    of per-grid-step SMEM windows — the S=500 'Ran out of memory in
+    memory space smem' fix) is value-identical to the SMEM path: same
+    refs, different BlockSpecs."""
+    lanes_fn, pallas_fn = _make_fns()
+    R = 300  # > 2 tiles at sublanes=1: exercises grid-step revisiting
+    noise = jnp.asarray(
+        rng.normal(scale=0.3, size=(R, STEPS, 12)), dtype=jnp.float32
+    )
+    optimal = jnp.asarray(
+        rng.normal(scale=0.1, size=(STEPS, 12)), dtype=jnp.float32
+    )
+    x0 = jnp.asarray(fr.make_state("huddled"), dtype=jnp.float32)
+    t = jnp.asarray(0.0, jnp.float32)
+    ctx = _make_ctx()
+
+    monkeypatch.setenv("PALLAS_VMEM_TABLES", "0")
+    smem_costs, smem_states = pallas_fn(noise, optimal, x0, t, ctx)
+    monkeypatch.setenv("PALLAS_VMEM_TABLES", "1")
+    vmem_costs, vmem_states = pallas_fn(noise, optimal, x0, t, ctx)
+    np.testing.assert_array_equal(
+        np.asarray(smem_costs), np.asarray(vmem_costs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(smem_states), np.asarray(vmem_states)
+    )
+
+
 def test_vmem_sublane_derivation_long_horizons():
     """SURVEY §7 / VERDICT r4 #6: the tile height must shrink with the
     horizon so the per-program (S, 12, sub, 128) VMEM blocks keep fitting
