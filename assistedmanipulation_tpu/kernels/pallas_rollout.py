@@ -89,7 +89,7 @@ def _table_spec(shape, vmem: bool):
     if not vmem:
         return pl.BlockSpec(memory_space=pltpu.SMEM)
     zeros = tuple(0 for _ in shape)
-    return pl.BlockSpec(shape, lambda g, _z=zeros: _z,
+    return pl.BlockSpec(shape, lambda *_g, _z=zeros: _z,
                         memory_space=pltpu.VMEM)
 
 
@@ -173,9 +173,9 @@ def _rollout_kernel(
     vtarget_ref,  # (S, 1)
     disc_ref,  # (S, 1)
     # VMEM blocks:
-    controls_ref,  # (S, 12, SUBLANES, LANES) this tile's absolute controls
+    controls_ref,  # (S|chunk, 12, SUBLANES, LANES) absolute controls
     out_ref,  # (2, SUBLANES, LANES) cost channels
-    *refs,  # [states_ref (S, 24, 1, LANES) when emit_states] + 2 scratch
+    *refs,  # [states_ref when emit_states] + 2 scratch
     # VMEM scratch (last 2 refs): rollout state lives on-chip all horizon.
     model: RobotModel,
     objective_cfg: ObjectiveConfiguration,
@@ -186,7 +186,16 @@ def _rollout_kernel(
     sublanes: int,
     emit_states: bool = False,
     gated_states: bool = False,
+    chunked: bool = False,
 ):
+    """``chunked``: the horizon is split over a SECOND grid dimension
+    (grid = (G, C), c fastest) so long horizons keep wide tiles — the
+    per-(g, c) control block holds ``steps`` CHUNK steps while the rollout
+    state persists in scratch across the c sweep. The (S, .) tables stay
+    full-length resident VMEM blocks indexed globally (c * steps + s); the
+    cost accumulator block is per-g (revisited across c) and initializes
+    on the first chunk via branch-free selects (``pl.when`` has no
+    interpret lowering)."""
     if emit_states:
         states_ref, q_ref, v_ref = refs
     else:
@@ -197,11 +206,28 @@ def _rollout_kernel(
     # Initialize on-chip state + accumulators (the scratch refs give the
     # loop state a concrete vector layout; plain jnp.full carries are
     # "replicated" splats Mosaic cannot relayout at the loop back-edge).
-    for i in range(12):
-        q_ref[i] = jnp.full(shape, q0_ref[i, 0], dtype=dtype)
-        v_ref[i] = jnp.full(shape, v0_ref[i, 0], dtype=dtype)
-    out_ref[0] = jnp.zeros(shape, dtype=dtype)
-    out_ref[1] = jnp.zeros(shape, dtype=dtype)
+    if chunked:
+        first_chunk = pl.program_id(1) == 0
+        for i in range(12):
+            q_ref[i] = jnp.where(
+                first_chunk, jnp.full(shape, q0_ref[i, 0], dtype=dtype),
+                q_ref[i],
+            )
+            v_ref[i] = jnp.where(
+                first_chunk, jnp.full(shape, v0_ref[i, 0], dtype=dtype),
+                v_ref[i],
+            )
+        zero = jnp.zeros(shape, dtype=dtype)
+        out_ref[0] = jnp.where(first_chunk, zero, out_ref[0])
+        out_ref[1] = jnp.where(first_chunk, zero, out_ref[1])
+        step_base = pl.program_id(1) * steps
+    else:
+        for i in range(12):
+            q_ref[i] = jnp.full(shape, q0_ref[i, 0], dtype=dtype)
+            v_ref[i] = jnp.full(shape, v0_ref[i, 0], dtype=dtype)
+        out_ref[0] = jnp.zeros(shape, dtype=dtype)
+        out_ref[1] = jnp.zeros(shape, dtype=dtype)
+        step_base = 0
     energy = jnp.full(shape, energy_ref[0, 0], dtype=dtype)
     if emit_states:
         is_prog0 = pl.program_id(0) == 0
@@ -209,6 +235,7 @@ def _rollout_kernel(
     def body(s, _):
         if emit_states:
             _write_lane0_states(states_ref, s, q_ref, v_ref, is_prog0, gated_states)
+        sg = step_base + s  # global step for the full-length tables
         controls_s = controls_ref[s]  # (12, SUBLANES, LANES)
         u = [controls_s[d] for d in range(12)]
         q = [q_ref[i] for i in range(12)]
@@ -222,13 +249,13 @@ def _rollout_kernel(
             v,
             u,
             energy,
-            [target_ref[s, 0], target_ref[s, 1], target_ref[s, 2]],
-            inv2_ref[s, 0],
-            pcost_ref[s, 0],
-            vtarget_ref[s, 0],
+            [target_ref[sg, 0], target_ref[sg, 1], target_ref[sg, 2]],
+            inv2_ref[sg, 0],
+            pcost_ref[sg, 0],
+            vtarget_ref[sg, 0],
             dt,
         )
-        disc = disc_ref[s, 0]
+        disc = disc_ref[sg, 0]
         for i in range(12):
             q_ref[i] = q_next[i]
             v_ref[i] = v_next[i]
@@ -772,12 +799,29 @@ class PallasSampler:
             fused_assembly = True  # the RNG lives in the fused kernel
         if fused_assembly:
             sublanes = min(sublanes, 8)
-        # Long horizons shrink the tile so the horizon-sized VMEM blocks
-        # keep fitting (S=500 at 16 sublanes would need ~49 MB).
+        # Long horizons: the per-program horizon block grows linearly with
+        # S. The two-pass path CHUNKS the horizon over a second grid
+        # dimension instead of narrowing the tile (state persists in
+        # scratch across chunks; ~20 us/step at any S), because narrow
+        # tiles measured 35-71 us/step (PERF.md horizon table). The fused
+        # kernels (which stream 2-3 horizon blocks and own the noise
+        # output layout) still narrow the tile.
         horizon_blocks = 3 if fused_assembly else 1
         if inkernel_rng:
             horizon_blocks = 2
-        sublanes = max_sublanes_for_vmem(steps, horizon_blocks, sublanes)
+        self._chunk_steps = None
+        chunk_env = _os.environ.get("PALLAS_CHUNK_STEPS")
+        if horizon_blocks == 1:
+            if chunk_env is not None and int(chunk_env) > 0:
+                self._chunk_steps = int(chunk_env)  # test/tuning override
+            else:
+                capped = max_sublanes_for_vmem(steps, 1, sublanes)
+                if capped < min(sublanes, 8):
+                    self._chunk_steps = 64
+                else:
+                    sublanes = capped
+        else:
+            sublanes = max_sublanes_for_vmem(steps, horizon_blocks, sublanes)
         if mesh is not None:
             shards = int(mesh.shape[rollout_axis])
         if rollout_count % shards:
@@ -826,7 +870,10 @@ class PallasSampler:
             emit_states=emit_states,
             gated_states=not interpret,
         )
-        self._kernel = functools.partial(_rollout_kernel, **statics)
+        rollout_statics = dict(statics)
+        if self._chunk_steps is not None:
+            rollout_statics.update(steps=self._chunk_steps, chunked=True)
+        self._kernel = functools.partial(_rollout_kernel, **rollout_statics)
         self._fused_kernel = functools.partial(
             _fused_sample_rollout_kernel, **statics
         )
@@ -900,6 +947,8 @@ class PallasSampler:
         control tiles -> (G_local * tile, 2) cost channels, pad rows
         included (plus the (S, 24, 1, LANES) lane-0 states output when
         ``emit_states``)."""
+        if self._chunk_steps is not None:
+            return self._costs_padded_chunked(controls, x0, time, ctx)
         dtype = controls.dtype
         steps = self.steps
         grid = controls.shape[0]
@@ -945,6 +994,90 @@ class PallasSampler:
             costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
             return costs, states_out
         # (G, 2, SUB, LANES) -> (G * tile, 2).
+        return out.transpose(0, 2, 3, 1).reshape(-1, 2)
+
+    def _costs_padded_chunked(self, controls, x0, time, ctx):
+        """The long-horizon variant: grid = (G, C) with the horizon split
+        into ``_chunk_steps``-step chunks streamed along the second grid
+        dimension (c fastest), so the tile keeps its full width at any S.
+        Rollout state persists in the kernel's VMEM scratch across the c
+        sweep; the cost block is per-g and accumulates across chunks; the
+        (S, .) tables ride as full-length resident VMEM blocks (global
+        step index); the horizon pads to a whole number of chunks with
+        zero-discount steps (cost-free; the post-horizon dynamics are
+        never read)."""
+        dtype = controls.dtype
+        steps = self.steps
+        chunk = self._chunk_steps
+        n_chunks = -(-steps // chunk)
+        padded_steps = n_chunks * chunk
+        grid = controls.shape[0]
+        sub = self.sublanes
+
+        tables = self._scalar_tables(dtype, x0, time, ctx)
+        q0, v0, energy, target, inv2, pcost, vtarget, disc = tables
+        pad = padded_steps - steps
+        if pad:
+            target = jnp.pad(target, ((0, pad), (0, 0)))
+            inv2 = jnp.pad(inv2, ((0, pad), (0, 0)))
+            pcost = jnp.pad(pcost, ((0, pad), (0, 0)))
+            vtarget = jnp.pad(vtarget, ((0, pad), (0, 0)))
+            disc = jnp.pad(disc, ((0, pad), (0, 0)))  # zero discount
+            controls = jnp.pad(
+                controls, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))
+            )
+        controls = controls.reshape(grid, n_chunks, chunk, 12, sub, LANES)
+
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+        in_specs = [
+            smem(), smem(), smem(),  # q0, v0, energy
+            _table_spec((padded_steps, 3), True),
+            _table_spec((padded_steps, 1), True),
+            _table_spec((padded_steps, 1), True),
+            _table_spec((padded_steps, 1), True),
+            _table_spec((padded_steps, 1), True),
+            pl.BlockSpec(
+                (None, None, chunk, 12, sub, LANES),
+                lambda g, c: (g, c, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        cost_spec = pl.BlockSpec(
+            (None, 2, sub, LANES),
+            lambda g, c: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        cost_shape = jax.ShapeDtypeStruct((grid, 2, sub, LANES), dtype)
+        if self._emit_states:
+            states_spec = pl.BlockSpec(
+                (chunk, 24, 1, LANES),
+                lambda g, c: (c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            states_shape = jax.ShapeDtypeStruct(
+                (padded_steps, 24, 1, LANES), jnp.float32
+            )
+            out_specs = [cost_spec, states_spec]
+            out_shape = [cost_shape, states_shape]
+        else:
+            out_specs, out_shape = cost_spec, cost_shape
+        out = pl.pallas_call(
+            self._kernel,
+            grid=(grid, n_chunks),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((12, sub, LANES), dtype),
+                pltpu.VMEM((12, sub, LANES), dtype),
+            ],
+            interpret=self._interpret,
+            compiler_params=_compiler_params(),
+        )(q0, v0, energy, target, inv2, pcost, vtarget, disc, controls)
+        if self._emit_states:
+            out, states_out = out
+            costs = out.transpose(0, 2, 3, 1).reshape(-1, 2)
+            return costs, states_out[: steps]
         return out.transpose(0, 2, 3, 1).reshape(-1, 2)
 
     def _costs(self, controls, x0, time, ctx):

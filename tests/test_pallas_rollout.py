@@ -497,6 +497,49 @@ def test_vmem_tables_match_smem_tables(rng, monkeypatch):
     )
 
 
+def test_chunked_horizon_matches_unchunked(rng, monkeypatch):
+    """Horizon chunking (grid = (G, C), rollout state persisting in
+    scratch across the chunk sweep — the long-horizon wide-tile path)
+    must be value-identical to the single-chunk kernel: same per-step
+    arithmetic, same accumulation order, the chunk boundary is purely a
+    memory plan. Exercised with a chunk that does NOT divide the horizon
+    (zero-discount padding) and with emit_states on."""
+    from assistedmanipulation_tpu.kernels.pallas_rollout import PallasSampler
+
+    model = frankaridgeback_model()
+    kw = dict(
+        rollout_count=300,  # > 2 tiles at sublanes=1
+        steps=STEPS,  # 4 steps; chunk=3 -> 2 chunks with 2 padded steps
+        dt=DT,
+        diag_scale=np.sqrt(np.asarray(fr.DEFAULT_COVARIANCE)),
+        sublanes=1,
+        interpret=True,
+        emit_states=True,
+    )
+    plain = PallasSampler(
+        model, ObjectiveConfiguration(), fr.Configuration(), **kw
+    )
+    monkeypatch.setenv("PALLAS_CHUNK_STEPS", "3")
+    chunked = PallasSampler(
+        model, ObjectiveConfiguration(), fr.Configuration(), **kw
+    )
+    assert chunked._chunk_steps == 3 and plain._chunk_steps is None
+
+    controls = jnp.asarray(
+        0.2 * rng.standard_normal((plain.grid, STEPS, 12, 1, 128)),
+        jnp.float32,
+    )
+    x0 = jnp.asarray(fr.make_state("huddled"), jnp.float32)
+    t = jnp.asarray(0.0, jnp.float32)
+    ctx = _make_ctx()
+    costs_a, states_a = plain._costs_padded(controls, x0, t, ctx)
+    costs_b, states_b = chunked._costs_padded(controls, x0, t, ctx)
+    np.testing.assert_array_equal(np.asarray(costs_a), np.asarray(costs_b))
+    np.testing.assert_array_equal(
+        np.asarray(states_a[:, :, 0, 0]), np.asarray(states_b[:, :, 0, 0])
+    )
+
+
 def test_vmem_sublane_derivation_long_horizons():
     """SURVEY §7 / VERDICT r4 #6: the tile height must shrink with the
     horizon so the per-program (S, 12, sub, 128) VMEM blocks keep fitting
@@ -514,7 +557,26 @@ def test_vmem_sublane_derivation_long_horizons():
     assert max_sublanes_for_vmem(500, 1) == 2
     assert max_sublanes_for_vmem(500, 3, 8) == 1
 
+    # The two-pass sampler CHUNKS the horizon rather than narrowing the
+    # tile when the cap would drop below 8 sublanes (narrow tiles
+    # measured 35-71 us/step — PERF.md): sublanes stay at the request
+    # and the kernel runs 64-step chunks over a second grid dimension.
     sampler = PallasSampler(
+        frankaridgeback_model(),
+        ObjectiveConfiguration(),
+        fr.Configuration(),
+        rollout_count=2048,
+        steps=500,
+        dt=0.01,
+        diag_scale=np.sqrt(np.asarray(fr.DEFAULT_COVARIANCE)),
+        sublanes=16,
+        interpret=True,
+    )
+    assert sampler.sublanes == 16
+    assert sampler._chunk_steps == 64
+    # The fused-assembly sampler (3 horizon streams, noise layout owned
+    # by the kernel) still narrows the tile.
+    fused = PallasSampler(
         frankaridgeback_model(),
         ObjectiveConfiguration(),
         fr.Configuration(),
@@ -522,11 +584,11 @@ def test_vmem_sublane_derivation_long_horizons():
         steps=500,
         dt=0.01,
         diag_scale=np.sqrt(np.asarray(fr.DEFAULT_COVARIANCE)),
-        sublanes=16,
+        sublanes=8,
         interpret=True,
+        fused_assembly=True,
     )
-    assert sampler.sublanes == 2
-    assert sampler.grid == 2  # 512 rollouts / (2 * 128) per tile
+    assert fused.sublanes == 1 and fused._chunk_steps is None
 
 
 def test_inkernel_rng_is_tpu_only():
