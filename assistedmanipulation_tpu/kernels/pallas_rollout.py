@@ -56,10 +56,13 @@ _KERNEL_UNROLL = int(_os.environ.get("PALLAS_UNROLL", "1"))
 # Scoped-VMEM budget for the rollout kernels. XLA's default scoped limit is
 # 16 MiB; tiles above 16 sublanes (e.g. the zero-padding 20-sublane tile at
 # 10k x 50: 4 programs x 2560 rollouts, 6.1 MB double-buffered control
-# blocks) need ~17 MB. v5e has far more physical VMEM; raising the scoped
-# limit per-kernel is safe and benched (PERF.md round-4 tile note).
+# blocks) need ~17 MB. v5e has far more physical VMEM (128 MB); raising the
+# scoped limit per-kernel is safe and benched (PERF.md round-4 tile note).
+# Round 5 default 40 MB: lets the FUSED-assembly kernel (3 double-buffered
+# horizon streams, ~29.5 MB at 16 sublanes) keep the full 16-sublane tile,
+# which measured +5% over the two-pass path (PERF.md round-5 fused note).
 _VMEM_LIMIT_BYTES = int(
-    float(_os.environ.get("PALLAS_VMEM_MB", "24")) * 1024 * 1024
+    float(_os.environ.get("PALLAS_VMEM_MB", "40")) * 1024 * 1024
 )
 
 
@@ -746,14 +749,16 @@ class PallasSampler:
     ``fused_assembly`` moves the noise assembly INTO the rollout kernel
     (_fused_sample_rollout_kernel): old + fresh noise stream in, assembled
     noise streams out, and the controls tensor never touches HBM. The
-    kernel then pipelines 3 horizon-sized VMEM blocks per grid program
-    instead of 1, so the tile height drops to 8 sublanes to fit the ~16 MB
-    VMEM budget (3 blocks x 2.46 MB x double-buffering). Measured on v5e
-    (scripts/ab_fused_assembly.py): +1.5% at equal sublanes, but the forced
-    16 -> 8 tile drop costs ~3-5%, so the two-pass path at 16 sublanes
-    stays the default — XLA already overlaps the separate assembly pass
-    well. Kept as an option: it is bitwise-equal (tested) and wins wherever
-    VMEM pressure forces 8-sublane tiles anyway.
+    kernel pipelines 3 horizon-sized VMEM blocks per grid program instead
+    of 1 (~29.5 MB at 16 sublanes), which fits the round-5 default 40 MB
+    scoped budget — at the full 16-sublane tile it measured **+5% over
+    the two-pass path** in repeated interleaved A/Bs
+    (scripts/ab_fused_assembly.py with PALLAS_VMEM_MB>=40; PERF.md
+    round-5 note) and is the serving default for single-scenario configs
+    (parallel/flagship.build_flagship). Bitwise-equal noise to the
+    two-pass assembly (tested). Scenario ensembles must use the two-pass
+    sampler — the fused kernel cannot re-score its controls per
+    scenario.
 
     ``shards``/``mesh``: the rollout batch partitions into ``shards``
     contiguous blocks of ``rollout_count // shards`` rollouts, each tiled
@@ -797,8 +802,10 @@ class PallasSampler:
         _, kp, kd = robot_cfg.resolve()
         if inkernel_rng:
             fused_assembly = True  # the RNG lives in the fused kernel
-        if fused_assembly:
-            sublanes = min(sublanes, 8)
+        # (The former hard fused_assembly clamp to 8 sublanes is subsumed
+        # by max_sublanes_for_vmem below: at the default 24 MB budget the
+        # 3-stream fused kernel still derives 8 at S=50, and raising
+        # PALLAS_VMEM_MB unlocks wider tiles for A/Bs.)
         # Long horizons: the per-program horizon block grows linearly with
         # S. The two-pass path CHUNKS the horizon over a second grid
         # dimension instead of narrowing the tile (state persists in
@@ -1566,10 +1573,10 @@ def make_pallas_planner(
     per-shard layout WITHOUT a mesh — the single-device twin of an n-way
     sharded run, bit-identical noise (used by dryrun cross-checks).
 
-    Note ``fused_assembly=True`` clamps sublanes to 8 (three horizon-sized
-    VMEM blocks per grid program must fit the ~16 MB VMEM budget); a larger
-    requested value is silently reduced, so A/B configs should compare at
-    equal effective sublanes (PallasSampler docstring)."""
+    ``fused_assembly`` sublanes derive from the scoped VMEM budget
+    (max_sublanes_for_vmem with 3 horizon streams): 16 at the default
+    40 MB budget and S=50 — the serving default via build_flagship;
+    compare A/B configs at equal effective sublanes."""
     from .. import mppi as mppi_module
     from ..models.model_data import frankaridgeback_model
     from ..objectives.assisted_manipulation import AssistedManipulation

@@ -109,6 +109,7 @@ def build_flagship(
     sublanes: Optional[int] = None,
     rng_impl: str = "rbg",
     fused_sampling: Optional[bool] = None,
+    fused_assembly: Optional[bool] = None,
     sampler_shards: int = 1,
 ) -> Flagship:
     """Compose the flagship planner.
@@ -181,6 +182,13 @@ def build_flagship(
         # scripts/tpu_crosscheck.py).
         if fused_sampling is None:
             fused_sampling = True
+        if fused_assembly is None:
+            # In-kernel noise assembly at the full 16-sublane tile measured
+            # +5% over the two-pass path (PERF.md round-5; the round-4
+            # "neutral" verdict was the old VMEM budget forcing an 8-lane
+            # tile). Scenario ensembles need the two-pass sampler (the
+            # fused kernel cannot re-score its controls per scenario).
+            fused_assembly = scenarios == 1
         if fused_sampling:
             planner = make_pallas_planner(
                 configuration,
@@ -188,6 +196,7 @@ def build_flagship(
                 interpret=interpret,
                 filter_fn=filter_fn,
                 fused_sampling=True,
+                fused_assembly=fused_assembly,
                 mesh=mesh,
                 rollout_axis=ROLLOUT_AXIS,
                 scenario_axis=scenario_axis,

@@ -8,7 +8,8 @@ after a shared warmup. Prints per-rep rates and the median per arm.
 Arms (select with AB_ARMS, comma-separated; default two_pass,fused):
 - ``two_pass``: host rbg draws + separate lane assembly pass (the shipping
   default, 16 sublanes).
-- ``fused``: assembly fused into the rollout kernel (8 sublanes, VMEM).
+- ``fused``: assembly fused into the rollout kernel (16 sublanes at the
+  round-5 40 MB VMEM budget — the serving default; +5%, PERF.md).
 - ``inkernel``: fresh noise generated inside the kernel from the TPU
   per-core PRNG via Box-Muller (8 sublanes; removes the rng-bit stream
   and the fresh-noise HBM traffic, adds VPU transcendentals — VERDICT r3

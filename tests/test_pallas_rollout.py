@@ -550,12 +550,14 @@ def test_vmem_sublane_derivation_long_horizons():
         max_sublanes_for_vmem,
     )
 
+    # Expectations at the round-5 default 40 MB scoped budget.
     assert max_sublanes_for_vmem(50, 1) == 16
+    assert max_sublanes_for_vmem(50, 3, 16) == 16  # fused serving default
     assert max_sublanes_for_vmem(50, 3, 8) == 8
     assert max_sublanes_for_vmem(100, 1) == 16
     assert max_sublanes_for_vmem(200, 1) == 8
-    assert max_sublanes_for_vmem(500, 1) == 2
-    assert max_sublanes_for_vmem(500, 3, 8) == 1
+    assert max_sublanes_for_vmem(500, 1) == 4
+    assert max_sublanes_for_vmem(500, 3, 8) == 2
 
     # The two-pass sampler CHUNKS the horizon rather than narrowing the
     # tile when the cap would drop below 8 sublanes (narrow tiles
@@ -588,7 +590,7 @@ def test_vmem_sublane_derivation_long_horizons():
         interpret=True,
         fused_assembly=True,
     )
-    assert fused.sublanes == 1 and fused._chunk_steps is None
+    assert fused.sublanes == 2 and fused._chunk_steps is None
 
 
 def test_inkernel_rng_is_tpu_only():
