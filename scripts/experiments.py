@@ -601,7 +601,10 @@ def _artifact_sections(root):
                 "sampler into shard_map.",
                 "",
                 "Efficiency model from the measured footprint: at the "
-                "bench shape the per-solve ICI payload is ~68-85 KB "
+                "bench shape the per-solve ICI payload is ~74-90 KB "
+                "(round-5 re-measure under the fused-assembly default, "
+                "incl. the 6.2 KB batch-mode optimal-states broadcast, "
+                "which XLA merged into the existing all-reduces) "
                 "against 792 us of per-device compute (PERF.md round-4 "
                 "attribution). v5e ICI moves that in single-digit "
                 "microseconds per link-hop, and each collective adds "
