@@ -735,6 +735,40 @@ def _artifact_sections(root):
             "inert-controller control (4e-5 N, r4) and with every "
             "moving-trajectory cell matching.",
         ]
+        path2 = os.path.join(root, "POSE_STICTION.json")
+        if os.path.exists(path2):
+            with open(path2) as handle:
+                ps = json.load(handle)
+            lines += [
+                "",
+                "**Stiction-knob test (POSE_STICTION.json): the "
+                "regularization-sharpness version of that hypothesis is "
+                "REFUTED.** Shrinking the Coulomb regularization eps "
+                "(creep velocity ~ eps*F/(f-F)) toward true stiction "
+                "makes the pose force WORSE, not better:",
+                "",
+                "| friction eps | mean force (N) | tail dither RMS (mm) |",
+                "|---|---|---|",
+            ]
+            for row in ps.get("rows", []):
+                lines.append(
+                    f"| {row['friction_eps']:g} | "
+                    f"{row['mean_force']:.2f} {row['force_range']} | "
+                    f"{row['tail_dither_rms_m'] * 1000:.1f} |"
+                )
+            lines += [
+                "",
+                "Sharper near-rest friction produces stick-slip under the "
+                "controller's dither (10.7 mm RMS at eps=1e-5 vs 3.3 at "
+                "the default) rather than a clean hold. So the reference's "
+                "~0 N is NOT recoverable by sharpening this plant's "
+                "regularized friction; if the friction model is the "
+                "mechanism it is RaiSim's full LCP complementarity "
+                "(exact zero-velocity constraint force), which has no "
+                "regularized analog — otherwise it lives in the "
+                "reference's unknowable single-run conditions. The ~1 N "
+                "floor stands as this plant's measured result.",
+            ]
 
     path = os.path.join(root, "scenario_value.json")
     if os.path.exists(path):

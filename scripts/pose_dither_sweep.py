@@ -39,6 +39,16 @@ import jax.numpy as jnp  # noqa: E402
 def run_cell(overrides: dict, duration: float, seed: int):
     import dataclasses
 
+    from assistedmanipulation_tpu.models import dynamics as dyn
+
+    # Stiction-hypothesis arm: shrink the Coulomb regularization toward
+    # true stiction (creep velocity ~ eps * F / (f - F), dynamics.py:183).
+    # Each Episode jits per-instance, so the module global binds at trace
+    # time; restore after the run.
+    eps_default = dyn.FRICTION_EPS
+    if "friction_eps" in overrides:
+        dyn.FRICTION_EPS = overrides["friction_eps"]
+
     from assistedmanipulation_tpu import mppi
     from assistedmanipulation_tpu.forecast import forecast as fc
     from assistedmanipulation_tpu.models import frankaridgeback as fr
@@ -101,8 +111,11 @@ def run_cell(overrides: dict, duration: float, seed: int):
         ),
         wrench_strategy=strategy,
     )
-    outputs = episode.run(seed=seed)
-    jnp.asarray(outputs.ee_position).block_until_ready()
+    try:
+        outputs = episode.run(seed=seed)
+        jnp.asarray(outputs.ee_position).block_until_ready()
+    finally:
+        dyn.FRICTION_EPS = eps_default
 
     metrics = episode_metrics(outputs)
     force = np.linalg.norm(
@@ -140,15 +153,27 @@ def main():
     duration = float(os.environ.get("POSE_DURATION", 15.0))
     seeds = [int(s) for s in os.environ.get("POSE_SEEDS", "0,1,2").split(",")]
 
-    sweeps = [("default", {})]
-    for scale in (0.5, 0.25, 0.1, 0.05):
-        sweeps.append((f"cov_x{scale}", {"covariance_scale": scale}))
-    for step in (1.0, 0.5, 0.25):
-        sweeps.append((f"grad_{step}", {"gradient_step": step}))
-    for window in (5, 15, 20):
-        sweeps.append((f"sg_{window}", {"smoothing_window": window}))
-    for keep in (10, 35, 50):
-        sweeps.append((f"keep_{keep}", {"keep_best": keep}))
+    which = os.environ.get("POSE_SWEEP", "knobs")
+    sweeps = []
+    if which in ("knobs", "all"):
+        sweeps += [("default", {})]
+        for scale in (0.5, 0.25, 0.1, 0.05):
+            sweeps.append((f"cov_x{scale}", {"covariance_scale": scale}))
+        for step in (1.0, 0.5, 0.25):
+            sweeps.append((f"grad_{step}", {"gradient_step": step}))
+        for window in (5, 15, 20):
+            sweeps.append((f"sg_{window}", {"smoothing_window": window}))
+        for keep in (10, 35, 50):
+            sweeps.append((f"keep_{keep}", {"keep_best": keep}))
+    if which in ("eps", "all"):
+        # Stiction hypothesis (EXPERIMENTS.md pose note): RaiSim's LCP
+        # friction has true static stiction; this plant's regularized
+        # Coulomb creeps at ~eps*F/(f-F) under the controller's dither,
+        # continuously engaging the kp=300 human PID. If the hypothesis
+        # holds, shrinking eps (more stiction-like) should collapse the
+        # pose force toward the reference's ~0 N.
+        for eps in (1e-3, 1e-4, 1e-5):
+            sweeps.append((f"eps_{eps:g}", {"friction_eps": eps}))
 
     rows = []
     for name, overrides in sweeps:
@@ -160,7 +185,10 @@ def main():
         print(json.dumps(row), flush=True)
 
     result = {
-        "metric": "pose_dither_knob_map",
+        "metric": (
+            "pose_stiction_eps_sweep" if which == "eps"
+            else "pose_dither_knob_map"
+        ),
         "duration": duration,
         "seeds": seeds,
         "protocol": "pose holds the initial huddled EE pose; kalman_1 "
@@ -170,9 +198,10 @@ def main():
         "rows": rows,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "POSE_DITHER.json"), "w") as handle:
+    out_name = "POSE_STICTION.json" if which == "eps" else "POSE_DITHER.json"
+    with open(os.path.join(root, out_name), "w") as handle:
         json.dump(result, handle, indent=1)
-    print("wrote POSE_DITHER.json")
+    print(f"wrote {out_name}")
 
 
 if __name__ == "__main__":
