@@ -187,8 +187,17 @@ def build_flagship(
             # +5% over the two-pass path (PERF.md round-5; the round-4
             # "neutral" verdict was the old VMEM budget forcing an 8-lane
             # tile). Scenario ensembles need the two-pass sampler (the
-            # fused kernel cannot re-score its controls per scenario).
-            fused_assembly = scenarios == 1
+            # fused kernel cannot re-score its controls per scenario), and
+            # LONG horizons need the two-pass kernel's horizon chunking
+            # (the fused kernel's 3 horizon streams can only narrow the
+            # tile, which measured 25-30% slower and OOMs VMEM at S=1000)
+            # — so fused only when its tile stays at the full 16 sublanes.
+            from ..kernels.pallas_rollout import max_sublanes_for_vmem
+
+            fused_assembly = (
+                scenarios == 1
+                and max_sublanes_for_vmem(steps, 3, 16) >= 16
+            )
         if fused_sampling:
             planner = make_pallas_planner(
                 configuration,
