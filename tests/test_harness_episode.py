@@ -195,6 +195,34 @@ def test_slerp_case_orientation_tracking(tmp_path):
     assert error_on < 0.8 * error_off, (error_on, error_off)
 
 
+def test_slerp_host_engine_torque_path(tmp_path):
+    """The HOST engine's pre_step torque branch (quaternion PID against
+    the orientation trajectory, logged to pid/torque with a dof-4
+    quaternion reference) — the episode-engine twin is covered above."""
+    patch = _patch(0.15)
+    patch["engine"] = "host"
+    patch["torque_enabled"] = True
+    ok = TestSuite.run("slerp", str(tmp_path), patch=patch)
+    assert ok
+    (run_folder,) = [entry.path for entry in os.scandir(tmp_path)]
+    torque = np.genfromtxt(
+        os.path.join(run_folder, "pid", "torque", "control.csv"),
+        delimiter=",",
+        skip_header=1,
+    )
+    reference = np.genfromtxt(
+        os.path.join(run_folder, "pid", "torque", "reference.csv"),
+        delimiter=",",
+        skip_header=1,
+    )
+    assert torque.shape == (30, 4)  # time + 3 torques per tick
+    assert reference.shape == (30, 5)  # time + xyzw quaternion
+    assert np.abs(torque[:, 1:]).max() > 0.0
+    # The reference quaternion stays unit-norm.
+    norms = np.linalg.norm(reference[:, 1:], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
 def test_realtime_paced_host_engine(tmp_path):
     """Realtime pacing (VERDICT r3 missing #3): the host engine paced to
     wall clock like the reference's raisim::TimedLoop (base.cpp:157), with
