@@ -65,6 +65,41 @@ def test_animate_writes_gif(tmp_path):
     assert image.n_frames == 5  # 40 ticks / stride 8
 
 
+def test_animate_draws_orientation_triads(tmp_path):
+    """The slerp scenario's scene: with an EE-orientation stream and a
+    torque-PID quaternion reference present, _scene_data carries both
+    quats and the animation renders the triads (round-5 slerp GIF
+    machinery)."""
+    folder = str(tmp_path / "slerp_test")
+    _synthetic_run(folder)
+    n = 40
+    t = np.arange(n) * 0.005
+    angle = np.pi * t / t[-1]
+    # xyzw quats rotating about z.
+    quat = np.stack(
+        [np.zeros(n), np.zeros(n), np.sin(angle / 2), np.cos(angle / 2)],
+        axis=-1,
+    )
+    _write_csv(
+        os.path.join(folder, "dynamics", "end_effector_orientation.csv"),
+        ["time", "x", "y", "z", "w"],
+        np.concatenate([t[:, None], quat], axis=-1),
+    )
+    _write_csv(
+        os.path.join(folder, "pid", "torque", "reference.csv"),
+        ["time", "reference0", "reference1", "reference2", "reference3"],
+        np.concatenate([t[:, None], quat[::-1]], axis=-1),
+    )
+    run = analysis.Run.load(folder)
+    scene = analysis._scene_data(run, folder)
+    assert scene["ee_quat"].shape == (n, 4)
+    assert scene["ref_quat"].shape == (n, 4)
+    axes = analysis._quat_xyzw_axes(scene["ee_quat"][-1])
+    np.testing.assert_allclose(axes @ axes.T, np.eye(3), atol=1e-6)
+    out = analysis.animate(folder, stride=20, fps=5)
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
 def test_animate_requires_ee_positions(tmp_path):
     import pytest
 
